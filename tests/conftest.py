@@ -1,0 +1,27 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so
+multi-chip sharding tests run without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# f64 off (default), but make torch comparisons deterministic
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — override it back to CPU here.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1204)  # reference seed (FFOE/main.py:53)

@@ -1,0 +1,103 @@
+"""Parity: GRU/LSTM scan cells vs torch nn.GRU/nn.LSTM; WordEmbedding."""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.ops import QuestionEmbedding, WordEmbedding
+
+
+def gru_params_from_torch(rnn, suffix="l0"):
+    return {
+        "w_ih": jnp.asarray(getattr(rnn, f"weight_ih_{suffix}").detach().numpy()),
+        "w_hh": jnp.asarray(getattr(rnn, f"weight_hh_{suffix}").detach().numpy()),
+        "b_ih": jnp.asarray(getattr(rnn, f"bias_ih_{suffix}").detach().numpy()),
+        "b_hh": jnp.asarray(getattr(rnn, f"bias_hh_{suffix}").detach().numpy()),
+    }
+
+
+def test_gru_forward_all_matches_torch(rng):
+    torch.manual_seed(3)
+    B, T, F, H = 4, 12, 30, 25
+    rnn = nn.GRU(F, H, 1, batch_first=True)
+    x = rng.randn(B, T, F).astype(np.float32)
+    want, _ = rnn(torch.from_numpy(x))
+    qe = QuestionEmbedding(F, H)
+    p = {"fwd": gru_params_from_torch(rnn)}
+    got = qe.apply_all(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+    # last state
+    got_last = qe.apply_last(p, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got_last), want[:, -1].detach().numpy(), atol=2e-5
+    )
+
+
+def test_gru_bidirectional_matches_torch(rng):
+    torch.manual_seed(4)
+    B, T, F, H = 3, 7, 10, 8
+    rnn = nn.GRU(F, H, 1, batch_first=True, bidirectional=True)
+    x = rng.randn(B, T, F).astype(np.float32)
+    want, _ = rnn(torch.from_numpy(x))
+    qe = QuestionEmbedding(F, H, bidirect=True)
+    p = {
+        "fwd": gru_params_from_torch(rnn, "l0"),
+        "bwd": gru_params_from_torch(rnn, "l0_reverse"),
+    }
+    got = qe.apply_all(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+    # forward-last + backward-first concat (language_model.py:91-92)
+    want_last = torch.cat([want[:, -1, :H], want[:, 0, H:]], dim=1)
+    got_last = qe.apply_last(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_last), want_last.detach().numpy(), atol=2e-5)
+
+
+def test_lstm_matches_torch(rng):
+    torch.manual_seed(5)
+    B, T, F, H = 2, 6, 9, 11
+    rnn = nn.LSTM(F, H, 1, batch_first=True)
+    x = rng.randn(B, T, F).astype(np.float32)
+    want, _ = rnn(torch.from_numpy(x))
+    qe = QuestionEmbedding(F, H, rnn_type="LSTM")
+    p = {"fwd": gru_params_from_torch(rnn)}
+    got = qe.apply_all(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+
+
+def test_word_embedding_pad_and_concat(rng):
+    ntoken, dim = 20, 6
+    we = WordEmbedding(ntoken, dim, 0.0, op="c")
+    p = we.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray([[1, 5, ntoken], [0, ntoken, ntoken]])
+    out = we.apply(p, ids)
+    assert out.shape == (2, 3, 2 * dim)
+    # pad token rows (index == ntoken) must embed to exactly zero
+    np.testing.assert_array_equal(np.asarray(out[0, 2]), np.zeros(2 * dim))
+    np.testing.assert_array_equal(np.asarray(out[1, 1:]), np.zeros((2, 2 * dim)))
+    # pad-row gradient is structurally zero
+    def loss(params):
+        return (we.apply(params, ids) ** 2).sum()
+    g = jax.grad(loss)(p)
+    np.testing.assert_array_equal(np.asarray(g["emb"][ntoken]), np.zeros(dim))
+
+
+def test_word_embedding_load_pretrained(rng):
+    ntoken, dim = 10, 4
+    we = WordEmbedding(ntoken, dim, 0.0, op="c")
+    p = we.init(jax.random.PRNGKey(1))
+    glove = rng.randn(ntoken, dim).astype(np.float32)
+    p = we.load_pretrained(p, glove)
+    np.testing.assert_allclose(np.asarray(p["emb"][:ntoken]), glove)
+    np.testing.assert_allclose(np.asarray(p["emb_"][:ntoken]), glove)
+    # frozen copy not trainable until tf-idf is loaded
+    assert we.trainable_mask(p)["emb_"] is False
+    assert we.trainable_mask(p, tfidf_loaded=True)["emb_"] is True
+    # tf-idf path: emb_ becomes the tfidf-mixed matrix
+    tfidf = rng.rand(ntoken, ntoken).astype(np.float32)
+    p2 = we.load_pretrained(we.init(jax.random.PRNGKey(2)), glove, tfidf=tfidf)
+    np.testing.assert_allclose(
+        np.asarray(p2["emb_"][:ntoken]), tfidf @ glove, rtol=1e-5
+    )

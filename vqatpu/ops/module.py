@@ -1,0 +1,62 @@
+"""Minimal functional-module protocol.
+
+Every op in ``vqatpu.ops`` is a frozen dataclass holding *static* hyper
+parameters, with two pure methods:
+
+- ``init(key) -> params``: build a pytree (nested dict) of ``jnp`` arrays.
+- ``apply(params, *inputs, ctx) -> outputs``: pure forward pass.
+
+Stochastic layers (dropout) draw keys from a :class:`Ctx`, which hands out
+deterministically derived subkeys in call order at trace time.  In eval mode
+(``ctx.train == False``, the default) dropout is the identity, so parity
+tests against the PyTorch reference are exact.
+
+This replaces ``torch.nn.Module`` state (reference: e.g.
+``/root/reference/src/fc.py:10-34``) with explicit pytrees so that the whole
+model is a single jittable function of ``(params, batch)`` — the shape XLA
+wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # nested dict pytree of jnp arrays
+
+
+class Ctx:
+    """Per-call context: train flag + deterministic dropout key stream."""
+
+    def __init__(self, train: bool = False, rng: Optional[jax.Array] = None):
+        self.train = train
+        self.rng = rng
+        self._counter = 0
+
+    def dropout_key(self) -> jax.Array:
+        if self.rng is None:
+            raise ValueError("Ctx needs an rng key for dropout in train mode")
+        self._counter += 1
+        return jax.random.fold_in(self.rng, self._counter)
+
+
+def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
+    """Inverted dropout matching ``torch.nn.Dropout`` semantics."""
+    if rate <= 0.0 or ctx is None or not ctx.train:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(ctx.dropout_key(), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def uniform(key: jax.Array, shape, bound: float, dtype=jnp.float32) -> jnp.ndarray:
+    """U(-bound, bound) — torch's default Linear/RNN init family."""
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def config(cls):
+    """Decorator: frozen dataclass usable as a static (hashable) config."""
+    return dataclasses.dataclass(frozen=True)(cls)

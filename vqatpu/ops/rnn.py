@@ -1,0 +1,122 @@
+"""Recurrent question/answer encoders as ``lax.scan`` cells.
+
+Replaces ``torch.nn.GRU/LSTM`` in ``/root/reference/src/language_model.py:50-98``.
+Gate ordering and bias layout match PyTorch exactly so eval-mode logits agree
+to float tolerance:
+
+- GRU:  ``W_ih = [W_ir; W_iz; W_in]``, ``n = tanh(i_n + r * (W_hn h + b_hn))``
+- LSTM: ``W_ih = [W_ii; W_if; W_ig; W_io]``
+
+The scan carries the hidden state; the (short, <=12-step) time loop is a
+compiled ``lax.scan`` — sequential by nature, but each step is a batched
+(B, 3H) matmul that lands on the MXU. Init: all params
+``U(-1/sqrt(hidden), 1/sqrt(hidden))`` (torch RNNBase default).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.ops.module import Ctx, config, uniform
+
+
+def _gru_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+    """x: [B, T, F] -> all hidden states [B, T, H]."""
+    B = x_btf.shape[0]
+    H = w_hh.shape[1]
+    # Precompute input projections for every step at once: one big MXU matmul.
+    gi_all = jnp.einsum("btf,gf->btg", x_btf, w_ih) + b_ih  # [B, T, 3H]
+
+    def cell(h, gi):
+        gh = h @ w_hh.T + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((B, H), x_btf.dtype)
+    _, hs = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1), reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+
+
+def _lstm_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+    B = x_btf.shape[0]
+    H = w_hh.shape[1]
+    gi_all = jnp.einsum("btf,gf->btg", x_btf, w_ih) + b_ih  # [B, T, 4H]
+
+    def cell(carry, gi):
+        h, c = carry
+        gh = h @ w_hh.T + b_hh
+        i_i, i_f, i_g, i_o = jnp.split(gi, 4, axis=-1)
+        h_i, h_f, h_g, h_o = jnp.split(gh, 4, axis=-1)
+        i = jax.nn.sigmoid(i_i + h_i)
+        f = jax.nn.sigmoid(i_f + h_f)
+        g = jnp.tanh(i_g + h_g)
+        o = jax.nn.sigmoid(i_o + h_o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    init = (jnp.zeros((B, H), x_btf.dtype), jnp.zeros((B, H), x_btf.dtype))
+    _, hs = jax.lax.scan(cell, init, jnp.swapaxes(gi_all, 0, 1), reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+@config
+class QuestionEmbedding:
+    """Single-layer GRU/LSTM encoder (reference ``language_model.py:50-98``).
+
+    ``apply_all`` returns every step's hidden state ([B, T, H·ndir]);
+    ``apply_last`` returns the final state (concat fwd-last/bwd-first when
+    bidirectional), matching ``QuestionEmbedding.forward``.
+    """
+
+    in_dim: int
+    num_hid: int
+    bidirect: bool = False
+    rnn_type: str = "GRU"  # "GRU" | "LSTM"
+
+    @property
+    def _ngates(self) -> int:
+        return 3 if self.rnn_type == "GRU" else 4
+
+    def _init_dir(self, key: jax.Array):
+        k = jax.random.split(key, 4)
+        H, G = self.num_hid, self._ngates
+        bound = 1.0 / (H ** 0.5)
+        return {
+            "w_ih": uniform(k[0], (G * H, self.in_dim), bound),
+            "w_hh": uniform(k[1], (G * H, H), bound),
+            "b_ih": uniform(k[2], (G * H,), bound),
+            "b_hh": uniform(k[3], (G * H,), bound),
+        }
+
+    def init(self, key: jax.Array):
+        if not self.bidirect:
+            return {"fwd": self._init_dir(key)}
+        kf, kb = jax.random.split(key)
+        return {"fwd": self._init_dir(kf), "bwd": self._init_dir(kb)}
+
+    def _run(self, p_dir, x, reverse: bool):
+        scan = _gru_scan if self.rnn_type == "GRU" else _lstm_scan
+        return scan(x, p_dir["w_ih"], p_dir["w_hh"], p_dir["b_ih"], p_dir["b_hh"], reverse)
+
+    def apply_all(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        out = self._run(p["fwd"], x, reverse=False)
+        if self.bidirect:
+            out = jnp.concatenate([out, self._run(p["bwd"], x, reverse=True)], axis=-1)
+        return out
+
+    def apply_last(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        out = self.apply_all(p, x, ctx)
+        if not self.bidirect:
+            return out[:, -1]
+        return jnp.concatenate(
+            [out[:, -1, : self.num_hid], out[:, 0, self.num_hid:]], axis=-1
+        )

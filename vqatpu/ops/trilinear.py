@@ -1,0 +1,143 @@
+"""Compact Trilinear interaction (the paper's core op) as chained einsums.
+
+Reference: ``/root/reference/src/tc.py`` (TCNet) + ``src/Tensor.py``
+(ModeProduct).  The PARALIND decomposition there runs a Python loop over 32
+ranks, each doing 3 FCNets and a transpose-heavy ModeProduct.  TPU-first we:
+
+- run all per-rank projection nets as ONE batched matmul each
+  (``[rank*h_sub, h_dim]`` stacked weights -> a single MXU-friendly GEMM),
+- contract the core tensor with sequential mode-product einsums that XLA
+  fuses, summing ranks inside the contraction (no rank-expanded
+  intermediates materialize in HBM).
+
+Math (attention regime, ``h_out == 1``): logits[b,i,j,l,g]
+  = sum_r sum_{xyz} v_r[b,i,x] q_r[b,j,y] a_r[b,l,z] T[r,x,y,z,g]
+
+``apply_with_weights`` is the fused joint embedding
+``einsum('bdv,bvqa,bdq,bda->bd')`` (``tc.py:54-61``).
+
+Construction notes mirrored from the reference:
+- ``self.h_dim = h_dim * k`` but sub-rank dims use the *pre-k* ``h_dim/rank``
+  (``tc.py:18-21``).
+- The rank nets + core tensor exist only when ``h_dim*k < 1024``
+  (``tc.py:27``) — the CTI ``t_net`` (k=2) therefore has only tucker
+  projections and is used exclusively via ``apply_with_weights``.
+- ``h_out > 1`` divides the output dim across ranks (``tc.py:33-35``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.ops.linear import FCNet
+from vqatpu.ops.module import Ctx, config, uniform
+
+RANK_NET_GATE = 1024  # reference `if self.h_dim < 1024` (tc.py:27)
+
+
+@config
+class TCNet:
+    v_dim: int
+    q_dim: int
+    a_dim: int
+    h_dim: int
+    h_out: int
+    rank: int
+    glimpse: int
+    act: str = "ReLU"
+    dropout: Tuple[float, float] = (0.2, 0.5)
+    k: int = 1
+
+    @property
+    def d(self) -> int:
+        return self.h_dim * self.k
+
+    @property
+    def h_sub(self) -> int:
+        return self.h_dim // self.rank
+
+    @property
+    def has_rank_nets(self) -> bool:
+        return self.d < RANK_NET_GATE
+
+    @property
+    def ho_dim(self) -> int:
+        if self.h_out > 1:
+            return self.h_out // self.rank
+        return self.h_out
+
+    def _tucker(self, in_dim: int, drop: float) -> FCNet:
+        return FCNet((in_dim, self.d), self.act, drop)
+
+    def _rank_net(self, drop: float) -> FCNet:
+        return FCNet((self.d, self.h_sub), self.act, drop)
+
+    def init(self, key: jax.Array):
+        keys = jax.random.split(key, 8)
+        p = {
+            "v_tucker": self._tucker(self.v_dim, self.dropout[1]).init(keys[0]),
+            "q_tucker": self._tucker(self.q_dim, self.dropout[0]).init(keys[1]),
+            "a_tucker": self._tucker(self.a_dim, self.dropout[0]).init(keys[2]),
+        }
+        if self.has_rank_nets:
+            # Stacked per-rank nets: weights [rank, h_sub, d] applied as one GEMM.
+            def stack_init(k0, drop):
+                ks = jax.random.split(k0, self.rank)
+                net = self._rank_net(drop)
+                return jax.vmap(net.init)(ks)
+
+            p["v_net"] = stack_init(keys[3], self.dropout[1])
+            p["q_net"] = stack_init(keys[4], self.dropout[0])
+            p["a_net"] = stack_init(keys[5], self.dropout[0])
+            p["T_g"] = jax.random.normal(
+                keys[6],
+                (self.rank, self.h_sub, self.h_sub, self.h_sub, self.glimpse, self.ho_dim),
+            )
+        return p
+
+    def _rank_project(self, stacked, x, drop: float, ctx) -> jnp.ndarray:
+        """Apply all rank nets at once: x [B, N, d] -> [B, N, rank, h_sub]."""
+        net = self._rank_net(drop)
+        # vmap the FCNet over the leading rank axis of the stacked params.
+        def one(params_r):
+            return net.apply(params_r, x, ctx)
+
+        out = jax.vmap(one)(stacked)  # [rank, B, N, h_sub]
+        return jnp.moveaxis(out, 0, 2)  # [B, N, rank, h_sub]
+
+    def apply(self, p, v, q, a, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        """Attention logits [B, V, Q, A, glimpse] (h_out==1 squeezed away,
+        matching ``f_emb.squeeze(4)`` in ``tc.py:52``)."""
+        assert self.has_rank_nets, "TCNet.apply needs the rank-net regime"
+        v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
+        a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
+
+        v_r = self._rank_project(p["v_net"], v_t, self.dropout[1], ctx)  # [B,V,R,x]
+        q_r = self._rank_project(p["q_net"], q_t, self.dropout[0], ctx)  # [B,Q,R,y]
+        a_r = self._rank_project(p["a_net"], a_t, self.dropout[0], ctx)  # [B,A,R,z]
+
+        T = p["T_g"][..., 0] if self.ho_dim == 1 else p["T_g"].sum(-1)
+        # Sequential mode products, contracting the small Q/A axes first so
+        # the largest intermediate is [B, Q, A, rank, h_sub, g] (tens of MB),
+        # never the rank-expanded [B, V, ...] tensor.  Ranks are summed in
+        # the final contraction, which is a clean MXU GEMM over rank*h_sub.
+        tq = jnp.einsum("bjry,rxyzg->bjrxzg", q_r, T)
+        ta = jnp.einsum("blrz,bjrxzg->bjlrxg", a_r, tq)
+        logits = jnp.einsum("birx,bjlrxg->bijlg", v_r, ta)
+        return logits
+
+    def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        """Fused joint embedding with attention ``w`` [B, V, Q, A] -> [B, d]
+        (``tc.py:54-61``)."""
+        v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
+        a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
+        # einsum('bdv,bvqa,bdq,bda->bd') factored to avoid B*V*Q*A*d blowup:
+        # first contract w with q_t over q, then a_t over a, then v_t over v.
+        wq = jnp.einsum("bvqa,bqd->bvad", w, q_t)
+        wqa = jnp.einsum("bvad,bad->bvd", wq, a_t)
+        return jnp.einsum("bvd,bvd->bd", wqa, v_t)
