@@ -1,0 +1,107 @@
+"""Model assembly smoke + structural tests (all 6 model variants, jitted)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig
+from vqatpu.models import build_model
+from vqatpu.ops.module import Ctx
+
+NTOKEN, V_DIM, NUM_ANS = 50, 32, 17
+B, V, Q, A = 2, 8, 12, 3
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
+        num_hid=32, h_mm=16, rank=4, gamma=2, num_stacks=2,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def tiny_batch(rng, num_pad=2):
+    v = rng.randn(B, V, V_DIM).astype(np.float32)
+    v[:, V - num_pad:] = 0.0
+    return {
+        "v": jnp.asarray(v),
+        "b": jnp.asarray(rng.rand(B, V, 6).astype(np.float32)),
+        "q": jnp.asarray(rng.randint(0, NTOKEN + 1, (B, Q))),
+        "a": jnp.asarray(rng.randint(0, NTOKEN + 1, (B, A))),
+        "v_mask": jnp.asarray(np.arange(V)[None] < V - num_pad).repeat(B, 0),
+    }
+
+
+@pytest.mark.parametrize("task,model,extra", [
+    ("ffoe", "ban", {}),
+    ("ffoe", "ban", {"use_counter": True}),
+    ("ffoe", "san", {}),
+    ("ffoe", "cti", {}),
+    ("mc", "ban", {}),
+    ("mc", "cti", {}),
+    ("mc", "san", {}),
+])
+def test_model_forward_shapes(rng, task, model, extra):
+    cfg = tiny_cfg(task=task, model=model, **extra)
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+
+    fwd = jax.jit(lambda p, b: m.apply(p, b)[0])
+    logits = fwd(p, batch)
+    assert logits.shape == (B, cfg.num_classes)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    # train mode with dropout runs and differs from eval
+    out_train, _ = m.apply(p, batch, Ctx(train=True, rng=jax.random.PRNGKey(1)))
+    assert out_train.shape == logits.shape
+
+
+def test_ban_glimpse_residual_accumulation(rng):
+    """BAN sums the *cumulative* per-glimpse question states
+    (FFOE/base_model.py:63-65: list of post-update q_emb, stacked & summed)."""
+    cfg = tiny_cfg(model="ban", gamma=1)
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    logits, att = m.apply(p, tiny_batch(rng))
+    assert att.shape == (B, 1, V, Q)
+    # attention over padded boxes must be zero
+    np.testing.assert_array_equal(np.asarray(att)[:, :, V - 2:], 0.0)
+
+
+def test_cti_attention_mass(rng):
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    _, att = m.apply(p, tiny_batch(rng))
+    assert att.shape == (B, V, Q, A, cfg.gamma)
+    np.testing.assert_allclose(
+        np.asarray(att).sum((1, 2, 3)), np.ones((B, cfg.gamma)), atol=1e-5
+    )
+
+
+def test_gradients_flow_everywhere(rng):
+    """Every parameter of the CTI model receives a nonzero gradient path."""
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+
+    def loss(params):
+        out, _ = m.apply(params, batch)
+        return (out ** 2).sum()
+
+    g = jax.grad(loss)(p)
+    flat, _ = jax.tree.flatten(
+        {k: v for k, v in g.items() if k not in ("wa_emb",)}
+    )
+    nonzero = [bool(np.any(np.asarray(x) != 0)) for x in flat]
+    assert all(nonzero), f"{sum(nonzero)}/{len(nonzero)} grads nonzero"
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(ValueError):
+        build_model(tiny_cfg(model="nope"))

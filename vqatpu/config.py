@@ -1,0 +1,67 @@
+"""Typed configuration replacing the reference's four duplicated argparse
+blocks (``FFOE/main.py:21-79``, ``MC/main.py:21-76``, both ``test.py``).
+
+Defaults are frozen from SURVEY.md §2.6 (the reference CLI defaults that
+produced the published numbers)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # dataset-derived
+    ntoken: int
+    v_dim: int
+    num_ans_candidates: int
+    # shared (FFOE/main.py:25-53)
+    model: str = "ban"  # ban | san | cti
+    num_hid: int = 1024
+    op: str = "c"  # 'c' => concat frozen GloVe copy (600-d words)
+    gamma: int = 2  # glimpses
+    activation: str = "relu"
+    dropout: float = 0.5
+    use_counter: bool = False
+    objects: int = 10  # counter top-k (FFOE/base_model.py:149)
+    num_stacks: int = 2  # SAN
+    # CTI (FFOE/main.py:60-64)
+    h_mm: int = 512
+    h_out: int = 1
+    rank: int = 32
+    k: int = 1
+    # MC pipeline emits 2-way match/non-match logits (MC/base_model.py:177)
+    task: str = "ffoe"  # ffoe | mc
+
+    @property
+    def word_dim(self) -> int:
+        return 600 if "c" in self.op else 300
+
+    @property
+    def num_classes(self) -> int:
+        return 2 if self.task == "mc" else self.num_ans_candidates
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # FFOE/main.py:25-53 defaults
+    epochs: int = 13
+    batch_size: int = 256
+    lr: float = 1e-3
+    clip_norm: float = 0.25
+    update_freq: int = 4
+    seed: int = 1204
+    saving_epoch: int = 9  # 0 for MC (MC/train.py:29)
+    # LR schedule (FFOE/train.py:26-31)
+    warmup_factors: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0)
+    lr_decay_start: int = 10
+    lr_decay_step: int = 2
+    lr_decay_rate: float = 0.25
+    # distillation (README.md:49-58)
+    distillation: bool = False
+    T: float = 1.5
+    alpha: float = 0.2
+    # TPU-side knobs (no reference analogue)
+    compute_dtype: str = "float32"  # or "bfloat16"
+    data_axis: str = "data"

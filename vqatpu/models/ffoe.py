@@ -1,0 +1,248 @@
+"""FFOE (free-form open-ended) model assembly: BAN / SAN / CTI.
+
+Reference: ``/root/reference/src/FFOE/base_model.py``.  Shapes:
+``v [B, V, v_dim]`` region features, ``b [B, V, 6]`` spatials,
+``q [B, Q]`` question token ids, ``a [B, A]`` answer token ids (CTI only).
+
+All models expose ``init(key) -> params`` and
+``apply(params, batch, ctx) -> (logits, att)`` where ``batch`` is a dict
+with keys ``v, b, q, a, v_mask`` (unused keys ignored) — one uniform
+signature so the jitted train step is model-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig
+from vqatpu.ops import (
+    BCNet,
+    BiAttention,
+    Counter,
+    Ctx,
+    FCNet,
+    QuestionEmbedding,
+    SimpleClassifier,
+    StackedAttention,
+    TCNet,
+    TriAttention,
+    WordEmbedding,
+    box_mask_from_features,
+)
+from vqatpu.ops.module import config
+
+
+@config
+class BanModel:
+    """Bilinear attention network with glimpse-residual question updates and
+    optional counting branch (``FFOE/base_model.py:21-67``)."""
+
+    cfg: ModelConfig
+
+    @property
+    def w_emb(self):
+        return WordEmbedding(self.cfg.ntoken, 300, 0.0, self.cfg.op)
+
+    @property
+    def q_emb(self):
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+
+    @property
+    def v_att(self):
+        return BiAttention(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid,
+                           self.cfg.gamma)
+
+    @property
+    def b_net(self):
+        return BCNet(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid, None, k=1)
+
+    @property
+    def q_prj(self):
+        return FCNet((self.cfg.num_hid, self.cfg.num_hid), "", 0.2)
+
+    @property
+    def c_prj(self):
+        return FCNet((self.cfg.objects + 1, self.cfg.num_hid), "ReLU", 0.0)
+
+    @property
+    def counter(self):
+        return Counter(self.cfg.objects) if self.cfg.use_counter else None
+
+    @property
+    def classifier(self):
+        return SimpleClassifier(self.cfg.num_hid, self.cfg.num_hid * 2,
+                                self.cfg.num_classes, self.cfg.activation,
+                                self.cfg.dropout)
+
+    def init(self, key: jax.Array):
+        ks = jax.random.split(key, 6 + 3 * self.cfg.gamma)
+        p = {
+            "w_emb": self.w_emb.init(ks[0]),
+            "q_emb": self.q_emb.init(ks[1]),
+            "v_att": self.v_att.init(ks[2]),
+            "classifier": self.classifier.init(ks[3]),
+        }
+        for g in range(self.cfg.gamma):
+            p[f"b_net{g}"] = self.b_net.init(ks[6 + 3 * g])
+            p[f"q_prj{g}"] = self.q_prj.init(ks[7 + 3 * g])
+            if self.counter is not None:
+                p[f"c_prj{g}"] = self.c_prj.init(ks[8 + 3 * g])
+        if self.counter is not None:
+            p["counter"] = self.counter.init(ks[4])
+        return p
+
+    def apply(self, p, batch, ctx: Optional[Ctx] = None):
+        v, b, q = batch["v"], batch.get("b"), batch["q"]
+        v_mask = batch.get("v_mask")
+        if v_mask is None:
+            v_mask = box_mask_from_features(v)
+
+        w = self.w_emb.apply(p["w_emb"], q, ctx)
+        q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)  # [B, Q, H]
+
+        att, logits = self.v_att.apply(p["v_att"], v, q_state, v_mask, ctx)
+        if self.counter is not None:
+            boxes = jnp.swapaxes(b[:, :, :4], 1, 2)  # [B, 4, V]
+
+        q_states = []
+        for g in range(self.cfg.gamma):
+            b_emb = self.b_net.apply_with_weights(
+                p[f"b_net{g}"], v, q_state, att[:, g], ctx
+            )
+            q_state = self.q_prj.apply(p[f"q_prj{g}"], b_emb[:, None, :], ctx) + q_state
+            if self.counter is not None:
+                # per-box max logit over Q; -inf on padded boxes -> sigmoid 0
+                atten = logits[:, g].max(axis=2)
+                embed = self.counter.apply(p["counter"], boxes, atten, ctx)
+                q_state = q_state + self.c_prj.apply(p[f"c_prj{g}"], embed, ctx)[:, None, :]
+            q_states.append(q_state)
+
+        pooled = jnp.stack(q_states, 1).sum(1)  # [B, Q, H]
+        out = self.classifier.apply(p["classifier"], pooled.sum(1), ctx)
+        return out, att
+
+
+@config
+class StackedAttentionModel:
+    """SAN (``FFOE/base_model.py:70-92``)."""
+
+    cfg: ModelConfig
+
+    @property
+    def w_emb(self):
+        return WordEmbedding(self.cfg.ntoken, 300, 0.0, self.cfg.op)
+
+    @property
+    def q_emb(self):
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+
+    @property
+    def v_att(self):
+        return StackedAttention(self.cfg.num_stacks, self.cfg.v_dim,
+                                self.cfg.num_hid, self.cfg.num_hid,
+                                self.cfg.dropout)
+
+    @property
+    def classifier(self):
+        return SimpleClassifier(self.cfg.num_hid, self.cfg.num_hid * 2,
+                                self.cfg.num_classes, self.cfg.activation,
+                                self.cfg.dropout)
+
+    def init(self, key: jax.Array):
+        ks = jax.random.split(key, 4)
+        return {
+            "w_emb": self.w_emb.init(ks[0]),
+            "q_emb": self.q_emb.init(ks[1]),
+            "v_att": self.v_att.init(ks[2]),
+            "classifier": self.classifier.init(ks[3]),
+        }
+
+    def apply(self, p, batch, ctx: Optional[Ctx] = None):
+        v, q = batch["v"], batch["q"]
+        w = self.w_emb.apply(p["w_emb"], q, ctx)
+        q_last = self.q_emb.apply_last(p["q_emb"], w, ctx)  # [B, H]
+        att = self.v_att.apply(p["v_att"], v, q_last, ctx=ctx)
+        out = self.classifier.apply(p["classifier"], att, ctx)
+        return out, None
+
+
+@config
+class CTIModel:
+    """Compact Trilinear Interaction model (``FFOE/base_model.py:95-136``):
+    dual GRU streams (question + answer), trilinear attention, per-glimpse
+    fused joint embeddings with residual updates to both streams."""
+
+    cfg: ModelConfig
+
+    @property
+    def w_emb(self):
+        return WordEmbedding(self.cfg.ntoken, 300, 0.0, self.cfg.op)
+
+    @property
+    def q_emb(self):
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+
+    @property
+    def t_att(self):
+        return TriAttention(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid,
+                            self.cfg.h_mm, 1, self.cfg.rank, self.cfg.gamma,
+                            self.cfg.k)
+
+    @property
+    def t_net(self):
+        # k=2 joint-embedding TCNet => d = 2*h_mm = num_hid, no rank nets
+        return TCNet(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid,
+                     self.cfg.h_mm, self.cfg.h_out, self.cfg.rank, 1, k=2,
+                     joint_only=True)
+
+    @property
+    def prj(self):
+        return FCNet((self.cfg.num_hid, self.cfg.num_hid), "", 0.2)
+
+    @property
+    def classifier(self):
+        return SimpleClassifier(self.cfg.num_hid, self.cfg.num_hid * 2,
+                                self.cfg.num_classes, self.cfg.activation,
+                                self.cfg.dropout)
+
+    def init(self, key: jax.Array):
+        ks = jax.random.split(key, 6 + 3 * self.cfg.gamma)
+        p = {
+            "w_emb": self.w_emb.init(ks[0]),
+            "q_emb": self.q_emb.init(ks[1]),
+            "wa_emb": self.w_emb.init(ks[2]),
+            "ans_emb": self.q_emb.init(ks[3]),
+            "t_att": self.t_att.init(ks[4]),
+            "classifier": self.classifier.init(ks[5]),
+        }
+        for g in range(self.cfg.gamma):
+            p[f"t_net{g}"] = self.t_net.init(ks[6 + 3 * g])
+            p[f"q_prj{g}"] = self.prj.init(ks[7 + 3 * g])
+            p[f"a_prj{g}"] = self.prj.init(ks[8 + 3 * g])
+        return p
+
+    def apply(self, p, batch, ctx: Optional[Ctx] = None):
+        v, q, a = batch["v"], batch["q"], batch["a"]
+        v_mask = batch.get("v_mask")
+        if v_mask is None:
+            v_mask = box_mask_from_features(v)
+
+        w = self.w_emb.apply(p["w_emb"], q, ctx)
+        q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)  # [B, Q, H]
+        wa = self.w_emb.apply(p["wa_emb"], a, ctx)
+        a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)  # [B, A, H]
+
+        att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask, ctx)
+        for g in range(self.cfg.gamma):
+            joint = self.t_net.apply_with_weights(
+                p[f"t_net{g}"], v, q_state, a_state, att[..., g], ctx
+            )
+            q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
+            a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
+
+        pooled = q_state.sum(1) + a_state.sum(1)
+        out = self.classifier.apply(p["classifier"], pooled, ctx)
+        return out, att

@@ -98,7 +98,9 @@ class Counter:
     def apply(self, p, boxes: jnp.ndarray, attention: jnp.ndarray,
               ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """boxes [B, 4, m], attention [B, m] -> count features [B, objects+1]."""
-        n = self.objects
+        # reference assumes >= `objects` boxes ("minimum number of boxes",
+        # FFOE/base_model.py:149); clamp for smaller static box counts.
+        n = min(self.objects, attention.shape[1])
         att, idx = jax.lax.top_k(attention, n)  # [B, n]
         boxes = jnp.take_along_axis(boxes, idx[:, None, :].repeat(4, 1), axis=2)
         if not self.already_sigmoided:

@@ -50,6 +50,11 @@ class TCNet:
     act: str = "ReLU"
     dropout: Tuple[float, float] = (0.2, 0.5)
     k: int = 1
+    # The reference gates rank-net construction on the literal `h_dim*k <
+    # 1024` (tc.py:27), which happens to disable them exactly for the CTI
+    # joint-embedding t_net (k=2, h_mm=512). `joint_only=True` states that
+    # intent explicitly so small test configs don't allocate dead params.
+    joint_only: bool = False
 
     @property
     def d(self) -> int:
@@ -61,7 +66,7 @@ class TCNet:
 
     @property
     def has_rank_nets(self) -> bool:
-        return self.d < RANK_NET_GATE
+        return (not self.joint_only) and self.d < RANK_NET_GATE
 
     @property
     def ho_dim(self) -> int:
