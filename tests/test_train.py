@@ -1,0 +1,193 @@
+"""Training engine: Adamax parity vs torch, clip, LR schedule, jitted
+train step with gradient accumulation, data-parallel sharding, checkpoints."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig, TrainConfig
+from vqatpu.models import build_model
+from vqatpu.sharding import make_mesh, replicate, shard_batch
+from vqatpu.train import (
+    TrainState,
+    adamax,
+    clip_flat_grads,
+    lr_for_epoch,
+    make_eval_step,
+    make_train_state,
+    make_train_step,
+    restore_train_state,
+    save_checkpoint,
+    trainable_mask,
+)
+from tests.test_models import tiny_batch, tiny_cfg
+
+
+def test_adamax_matches_torch(rng):
+    w0 = rng.randn(4, 3).astype(np.float32)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adamax([tw], lr=0.02)
+    tx = adamax()
+    import optax
+    chain = optax.chain(tx, optax.scale(-0.02))
+    params = {"w": jnp.asarray(w0)}
+    state = chain.init(params)
+    for i in range(5):
+        g = rng.randn(4, 3).astype(np.float32)
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+        updates, state = chain.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6
+    )
+
+
+def test_clip_flat_grads_matches_reference_semantics(rng):
+    grads = {"a": jnp.asarray(rng.randn(10).astype(np.float32)) * 10}
+    clipped, norm = clip_flat_grads(grads, 0.25)
+    total = float(jnp.linalg.norm(clipped["a"]))
+    # coef = max_norm / (norm + 1e-6)
+    assert np.isclose(total, 0.25 * float(norm) / (float(norm) + 1e-6), rtol=1e-5)
+    # below threshold: untouched
+    small = {"a": jnp.asarray([0.1, 0.1]).astype(jnp.float32)}
+    same, _ = clip_flat_grads(small, 0.25)
+    np.testing.assert_allclose(np.asarray(same["a"]), np.asarray(small["a"]))
+
+
+def test_lr_schedule_matches_reference():
+    cfg = TrainConfig(lr=1e-3)
+    # warmup epochs 0-3: [0.5, 1, 1.5, 2] x lr (FFOE/train.py:30,63-64)
+    assert np.isclose(lr_for_epoch(cfg, 0), 5e-4)
+    assert np.isclose(lr_for_epoch(cfg, 3), 2e-3)
+    # plateau at 2x until decay starts at epoch 10
+    assert np.isclose(lr_for_epoch(cfg, 9), 2e-3)
+    assert np.isclose(lr_for_epoch(cfg, 10), 5e-4)
+    assert np.isclose(lr_for_epoch(cfg, 11), 5e-4)
+    assert np.isclose(lr_for_epoch(cfg, 12), 1.25e-4)
+    # decay epochs capped at range(10, 20, 2): 5 decays total
+    assert np.isclose(lr_for_epoch(cfg, 25), 2e-3 * 0.25 ** 5)
+
+
+def test_trainable_mask_freezes_emb_copy():
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    mask = trainable_mask(p)
+    assert mask["w_emb"]["emb_"] is False
+    assert mask["w_emb"]["emb"] is True
+    assert mask["wa_emb"]["emb_"] is False
+    mask2 = trainable_mask(p, tfidf_loaded=True)
+    assert mask2["w_emb"]["emb_"] is True
+
+
+@pytest.mark.parametrize("model_name", ["ban", "cti"])
+def test_train_step_accumulation_and_update(rng, model_name):
+    cfg = tiny_cfg(model=model_name)
+    tcfg = TrainConfig(update_freq=2, batch_size=2)
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    step = make_train_step(m, tcfg)
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    # first microbatch: buffered, no param change
+    assert int(metrics["updated"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(p0)[0]),
+    )
+    assert int(state.accum_count) == 1
+    state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
+    # second microbatch: update fires, accum resets
+    assert int(metrics["updated"]) == 1
+    assert int(state.accum_count) == 0
+    assert int(state.step) == 1
+    assert float(metrics["grad_norm"]) > 0
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(p0)[0]),
+    )
+    # frozen emb copy must not move
+    np.testing.assert_array_equal(
+        np.asarray(state.params["w_emb"]["emb_"]), np.asarray(p0["w_emb"]["emb_"])
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_distillation_ban(rng):
+    cfg = tiny_cfg(model="ban")
+    tcfg = TrainConfig(update_freq=1, distillation=True, T=2.0, alpha=0.3)
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    step = make_train_step(m, tcfg)
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+    batch["t_logits"] = jnp.asarray(rng.randn(2, cfg.num_ans_candidates).astype(np.float32))
+    state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["updated"]) == 1
+
+
+def test_data_parallel_mesh_matches_single_device(rng):
+    """Same batch, sharded over 8 virtual devices vs unsharded: identical
+    loss and updated params (DP is semantics-preserving)."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg(model="cti")
+    tcfg = TrainConfig(update_freq=1)
+    m = build_model(cfg)
+    step = make_train_step(m, tcfg)
+
+    B = 8
+    v = rng.randn(B, 8, 32).astype(np.float32)
+    batch = {
+        "v": jnp.asarray(v),
+        "q": jnp.asarray(rng.randint(0, 51, (B, 12))),
+        "a": jnp.asarray(rng.randint(0, 51, (B, 3))),
+        "target": jnp.asarray(rng.rand(B, cfg.num_ans_candidates).astype(np.float32)),
+    }
+
+    s1 = make_train_state(m, jax.random.PRNGKey(0))
+    s1, m1 = step(s1, batch, jnp.float32(1e-3), jax.random.PRNGKey(9))
+
+    mesh = make_mesh()
+    s2 = make_train_state(m, jax.random.PRNGKey(0))
+    s2 = TrainState(*[replicate(x, mesh) for x in s2])
+    sharded = shard_batch(batch, mesh)
+    s2, m2 = step(s2, sharded, jnp.float32(1e-3), jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
+    cfg = tiny_cfg(model="ban")
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    ev = make_eval_step(m)
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+    out = ev(state.params, batch)
+    assert out["logits"].shape == (2, cfg.num_ans_candidates)
+    assert float(out["upper_bound"]) > 0
+
+    path = str(tmp_path / "model_epoch0.ckpt")
+    save_checkpoint(path, state, epoch=0)
+    fresh = make_train_state(m, jax.random.PRNGKey(42))
+    restored, start_epoch = restore_train_state(path, fresh)
+    assert start_epoch == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out2 = ev(restored.params, batch)
+    np.testing.assert_allclose(
+        np.asarray(out2["logits"]), np.asarray(out["logits"]), atol=1e-6
+    )

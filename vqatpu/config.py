@@ -56,6 +56,7 @@ class TrainConfig:
     # LR schedule (FFOE/train.py:26-31)
     warmup_factors: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0)
     lr_decay_start: int = 10
+    lr_decay_end: int = 20
     lr_decay_step: int = 2
     lr_decay_rate: float = 0.25
     # distillation (README.md:49-58)

@@ -1,0 +1,80 @@
+"""Checkpoint save/restore.
+
+Mirrors the reference policy (``utils.py:98-106``, ``FFOE/train.py:108-116``):
+``{output}/model_epoch{E}.ckpt`` every epoch >= ``saving_epoch`` plus
+``model_epoch_best.ckpt``; resume restores params + optimizer state and
+continues at ``epoch + 1`` (``FFOE/main.py:121-128``).
+
+Format: pickle of a numpy-leaf pytree (the JAX analogue of ``torch.save`` on
+state dicts — same trust model, same durability).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from vqatpu.train.steps import TrainState
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    extra: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "params": _to_numpy(state.params),
+        "opt_state": _to_numpy(state.opt_state),
+        "step": int(state.step),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
+    """Load params/opt_state into an existing (freshly-built) state, returning
+    (state, start_epoch).  Structure must match the current model."""
+    payload = load_checkpoint(path)
+
+    def check_and_cast(new, old):
+        assert np.shape(new) == np.shape(old), (np.shape(new), np.shape(old))
+        return jax.numpy.asarray(new)
+
+    params = jax.tree.map(check_and_cast, payload["params"], state.params)
+    opt_state = jax.tree.map(check_and_cast, payload["opt_state"], state.opt_state)
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        grad_accum=jax.tree.map(jax.numpy.zeros_like, state.grad_accum),
+        accum_count=jax.numpy.zeros([], jax.numpy.int32),
+        step=jax.numpy.asarray(payload.get("step", 0), jax.numpy.int32),
+    )
+    return new_state, payload["epoch"] + 1
+
+
+def save_params(path: str, params: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"params": _to_numpy(params)}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_params(path: str) -> Any:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload["params"] if "params" in payload else payload

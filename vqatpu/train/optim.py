@@ -1,0 +1,89 @@
+"""Optimizer stack: torch-semantics Adamax, flat-grad global-norm clip, and
+the reference's epoch-level LR schedule.
+
+Reference parity targets:
+- ``torch.optim.Adamax`` (used at ``FFOE/train.py:34-35``): eps is added
+  *inside* the infinity-norm max (``u = max(b2*u, |g| + eps)``), unlike
+  optax's adamax which adds eps in the denominator — so we implement it.
+- ``utils.clip_grad_norm_`` (``utils.py:323-328``): clip applied to the
+  *concatenated* gradient vector with ``coef = max_norm / (norm + 1e-6)``.
+- LR schedule (``FFOE/train.py:26-31,62-69``): warmup factors
+  [0.5, 1, 1.5, 2]x on epochs 0-3, then x0.25 decay at epochs 10, 12, ...
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vqatpu.config import TrainConfig
+
+
+class AdamaxState(NamedTuple):
+    count: jnp.ndarray
+    m: optax.Updates
+    u: optax.Updates
+
+
+def adamax(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adamax semantics. Produces the *delta* ``m_hat / u``; the
+    learning rate is applied by a chained ``optax.scale`` (see
+    :func:`adamax_with_lr`)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdamaxState(jnp.zeros([], jnp.int32), zeros,
+                           jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state.m, updates)
+        u = jax.tree.map(
+            lambda u_, g: jnp.maximum(b2 * u_, jnp.abs(g) + eps), state.u, updates
+        )
+        bias_corr = 1.0 - b1 ** count.astype(jnp.float32)
+        out = jax.tree.map(lambda m_, u_: m_ / (u_ * bias_corr), m, u)
+        return out, AdamaxState(count, m, u)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamax_with_lr() -> optax.GradientTransformation:
+    """Adamax whose per-step LR arrives via ``optax.inject_hyperparams`` —
+    the epoch schedule is driven from the host loop like the reference."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            adamax(), optax.scale_by_learning_rate(learning_rate)
+        )
+    )(learning_rate=1e-3)
+
+
+def global_grad_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree.leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+
+
+def clip_flat_grads(grads, max_norm: float) -> Tuple[optax.Updates, jnp.ndarray]:
+    """Reference ``clip_grad_norm_``: scale all grads by
+    ``max_norm / (norm + 1e-6)`` when norm exceeds ``max_norm``.
+    Returns (clipped grads, pre-clip norm)."""
+    norm = global_grad_norm(grads)
+    coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+    return jax.tree.map(lambda g: g * coef, grads), norm
+
+
+def lr_for_epoch(cfg: TrainConfig, epoch: int) -> float:
+    """Pure epoch->lr function reproducing the warmup/decay state machine."""
+    warm = cfg.warmup_factors
+    if epoch < len(warm):
+        return cfg.lr * warm[epoch]
+    lr = cfg.lr * warm[-1]
+    # decay epochs: range(start, end, step) as in FFOE/train.py:29
+    for e in range(cfg.lr_decay_start, cfg.lr_decay_end, cfg.lr_decay_step):
+        if e <= epoch:
+            lr *= cfg.lr_decay_rate
+    return lr

@@ -1,0 +1,153 @@
+"""Jitted train / eval steps (the reference's ``Trainer`` hot loop,
+``FFOE/trainer.py:97-272``, collapsed into pure functions).
+
+Everything that was host-side in the reference — flat-grad accumulation,
+denominator rescale, global-norm clip, Adamax step — happens inside ONE
+jitted function here.  Gradient accumulation (``update_freq``) is carried in
+the train state so the whole pipeline stays on-device; the optimizer update
+fires via ``lax.cond`` every ``update_freq``-th microbatch, dividing by the
+microbatch count exactly like ``_all_reduce_and_rescale(grad_denom)``
+(grad_denom == number of buffered microbatches, ``trainer.py:112-126``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vqatpu.config import TrainConfig
+from vqatpu.ops import bce_with_logits_sum, distillation_loss
+from vqatpu.ops.module import Ctx
+from vqatpu.train.optim import adamax_with_lr, clip_flat_grads
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    grad_accum: Any
+    accum_count: jnp.ndarray  # microbatches buffered since last update
+    step: jnp.ndarray  # completed optimizer updates
+
+
+def compute_score_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """VQA soft accuracy: one_hot(argmax) · soft target, summed
+    (``FFOE/train.py:16-21``)."""
+    one_hot = jax.nn.one_hot(jnp.argmax(logits, axis=1), logits.shape[1],
+                             dtype=target.dtype)
+    return (one_hot * target).sum()
+
+
+def trainable_mask(params, tfidf_loaded: bool = False):
+    """True where a param is trainable.  Only the frozen GloVe copy
+    (``emb_``) is non-trainable pre-tfidf (``language_model.py:21-24``)."""
+
+    def walk(tree, frozen):
+        if isinstance(tree, dict):
+            return {k: walk(v, frozen or k == "emb_") for k, v in tree.items()}
+        return not frozen or tfidf_loaded
+
+    return walk(params, False)
+
+
+def mask_grads(grads, mask):
+    return jax.tree.map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, mask,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def make_optimizer():
+    return adamax_with_lr()
+
+
+def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False) -> TrainState:
+    params = model.init(key)
+    tx = make_optimizer()
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        grad_accum=jax.tree.map(jnp.zeros_like, params),
+        accum_count=jnp.zeros([], jnp.int32),
+        step=jnp.zeros([], jnp.int32),
+    )
+
+
+def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False):
+    """Build the jitted train step.
+
+    Distillation applies only to ban/san — the reference's CTI branch ignores
+    the KD criterion entirely (``FFOE/trainer.py:168-192``).
+    """
+    tx = make_optimizer()
+    distill = cfg.distillation and model.cfg.model in ("ban", "san")
+
+    def loss_fn(params, batch, rng):
+        ctx = Ctx(train=True, rng=rng)
+        logits, _ = model.apply(params, batch, ctx)
+        target = batch["target"]
+        if distill:
+            loss = distillation_loss(logits, batch["t_logits"], target,
+                                     cfg.T, cfg.alpha)
+        else:
+            loss = bce_with_logits_sum(logits, target) / logits.shape[0]
+        return loss, logits
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lr, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        mask = trainable_mask(state.params, tfidf_loaded)
+        grads = mask_grads(grads, mask)
+        accum = jax.tree.map(jnp.add, state.grad_accum, grads)
+        count = state.accum_count + 1
+
+        def do_update(_):
+            denom = count.astype(jnp.float32)
+            g = jax.tree.map(lambda x: x / denom, accum)
+            g, norm = clip_flat_grads(g, cfg.clip_norm)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr  # type: ignore[attr-defined]
+            updates, new_opt = tx.update(g, opt_state, state.params)
+            updates = mask_grads(updates, mask)
+            params = optax.apply_updates(state.params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, accum)
+            return TrainState(params, new_opt, zeros,
+                              jnp.zeros([], jnp.int32), state.step + 1), norm
+
+        def no_update(_):
+            return TrainState(state.params, state.opt_state, accum, count,
+                              state.step), jnp.float32(0.0)
+
+        new_state, grad_norm = jax.lax.cond(
+            count >= cfg.update_freq, do_update, no_update, None
+        )
+        score = compute_score_with_logits(logits, batch["target"])
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "batch_score": score,
+            "updated": (count >= cfg.update_freq).astype(jnp.int32),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Eval: logits + soft score + upper bound (``FFOE/train.py:119-149``)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        logits, _ = model.apply(params, batch)
+        out = {"logits": logits}
+        if "target" in batch:
+            out["score"] = compute_score_with_logits(logits, batch["target"])
+            out["upper_bound"] = batch["target"].max(axis=1).sum()
+        return out
+
+    return eval_step
