@@ -1,0 +1,133 @@
+"""Data layer: dictionary tokenization parity, synthetic fixtures, static
+batching, MC candidate expansion."""
+
+import numpy as np
+import pytest
+
+from vqatpu.data import (
+    BatchLoader,
+    Dictionary,
+    TDIUCFeatureDataset,
+    V7WDataset,
+    VQAFeatureDataset,
+    expand_mc_batch,
+)
+from vqatpu.data.synthetic import make_tdiuc_fixture, make_v7w_fixture, make_vqa_fixture
+
+
+def test_dictionary_tokenize_rules():
+    d = Dictionary()
+    ids = d.tokenize("What's the cat, doing?", add_word=True)
+    # lowercase, comma/qmark stripped, 's split
+    assert d.idx2word == ["what", "'s", "the", "cat", "doing"]
+    assert ids == [0, 1, 2, 3, 4]
+    # unknown word maps to padding_idx - 1
+    assert d.tokenize("zebra")[0] == d.padding_idx - 1
+
+
+def test_dictionary_roundtrip(tmp_path):
+    d = Dictionary()
+    d.tokenize("red blue green", add_word=True)
+    p = str(tmp_path / "dict.pkl")
+    d.dump_to_file(p)
+    d2 = Dictionary.load_from_file(p)
+    assert d2.word2idx == d.word2idx and d2.idx2word == d.idx2word
+
+
+def test_tokenize_padded_truncates_and_pads():
+    d = Dictionary()
+    d.tokenize("a b c d e", add_word=True)
+    toks = d.tokenize_padded("a b c d e", 3)
+    assert len(toks) == 3
+    toks = d.tokenize_padded("a b", 5)
+    assert toks[2:] == [d.padding_idx] * 3  # pad at END
+
+
+@pytest.fixture(scope="module")
+def vqa_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data_vqa"))
+    d = make_vqa_fixture(root, with_teacher_logits=True)
+    return root, d
+
+
+def test_vqa_dataset_shapes(vqa_root):
+    root, d = vqa_root
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                           distillation=True)
+    assert len(ds) == 64
+    s = ds.sample(0)
+    assert s["v"].shape == (15, ds.v_dim)
+    assert s["b"].shape == (15, 6)
+    assert s["q"].shape == (12,)
+    assert s["a"].shape == (3,)
+    assert s["target"].shape == (ds.num_ans_candidates,)
+    assert s["t_logits"].shape == (ds.num_ans_candidates,)
+    # padded box rows are zero exactly where mask is False
+    assert np.all(s["v"][~s["v_mask"]] == 0)
+    assert np.any(s["v"][s["v_mask"]] != 0)
+    # at least 10 real boxes (adaptive min)
+    assert s["v_mask"].sum() >= 10
+    # target scatter: scores land on label positions
+    e = ds.entries[0]
+    for lbl, sc in zip(e["answer"]["labels"], e["answer"]["scores"]):
+        assert s["target"][lbl] == np.float32(sc)
+
+
+def test_vqa_entries_sorted_and_aligned(vqa_root):
+    root, d = vqa_root
+    ds = VQAFeatureDataset("val", d, dataroot=root)
+    qids = [e["question_id"] for e in ds.entries]
+    assert qids == sorted(qids)
+    # CTI answer stream: argmax answer string tokenized to len 3
+    assert all(e["ans"] in ([""] + ds.label2ans) for e in ds.entries)
+
+
+def test_batch_loader_static_shapes(vqa_root):
+    root, d = vqa_root
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                           distillation=False)
+    loader = BatchLoader(ds, batch_size=10, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 7  # 64 / 10 -> 6 full + 1 padded partial
+    for b in batches:
+        assert b["v"].shape == (10, 15, ds.v_dim)  # static across batches
+    assert b["valid"].sum() == 4  # final partial: 64 - 60
+    total_valid = sum(int(x["valid"].sum()) for x in batches)
+    assert total_valid == 64
+    # shuffling changes order between epochs
+    b1 = next(iter(loader))
+    assert not np.array_equal(batches[0]["qid"], b1["qid"])
+
+
+def test_tdiuc_dataset(tmp_path):
+    root = str(tmp_path / "tdiuc")
+    d = make_tdiuc_fixture(root)
+    ds = TDIUCFeatureDataset("val", d, dataroot=root, max_boxes=15)
+    s = ds.sample(3)
+    assert s["target"].sum() == 1.0  # TDIUC: single hard label
+    assert np.all(s["a"] == d.padding_idx)  # no answer stream
+
+
+def test_v7w_dataset_and_expansion(tmp_path):
+    root = str(tmp_path / "v7w")
+    d = make_v7w_fixture(root)
+    ds = V7WDataset("train", d, dataroot=root, max_boxes=15)
+    s = ds.sample(0)
+    assert s["ans_mc"].shape == (4, 6)
+    assert s["label"].sum() == 1.0
+
+    loader = BatchLoader(ds, batch_size=8, drop_last=True)
+    batch = next(iter(loader))
+    ex = expand_mc_batch(batch)
+    assert ex["v"].shape == (32, 15, ds.v_dim)
+    assert ex["q"].shape == (32, 12)
+    assert ex["a"].shape == (32, 6)
+    assert ex["target"].shape == (32, 2)
+    # rows of each 4-group share v and q
+    np.testing.assert_array_equal(ex["v"][0], ex["v"][3])
+    np.testing.assert_array_equal(ex["q"][4], ex["q"][7])
+    # exactly one positive candidate per group
+    pos = ex["target"][:, 0].reshape(8, 4).sum(1)
+    np.testing.assert_array_equal(pos, np.ones(8))
+    # [a, 1-a] structure
+    np.testing.assert_allclose(ex["target"].sum(1), np.ones(32))
