@@ -1,0 +1,92 @@
+"""FFOE evaluation / inference export.
+
+Reference: ``/root/reference/src/FFOE/test.py`` — batched no-grad logit sweep
+(``get_logits``, ``:78-111``), EvalAI submission JSON (``make_json``,
+``:114-122``), and the CTI teacher-logits pkl dump (``make_json_with_logits``,
+``:125-130``) that closes the knowledge-distillation loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from vqatpu.data.batching import BatchLoader
+from vqatpu.train.steps import make_eval_step
+
+
+def get_logits(model, params, loader: BatchLoader
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sweep the loader; -> (pred [N, num_ans], qids [N])."""
+    eval_step = make_eval_step(model)
+    preds, qids = [], []
+    for batch in loader:
+        valid = batch.pop("valid")
+        out = eval_step(params, {k: v for k, v in batch.items()
+                                 if k in ("v", "b", "q", "a", "v_mask", "target")})
+        logits = np.asarray(out["logits"])[valid]
+        preds.append(logits)
+        qids.append(batch["qid"][valid])
+    return np.concatenate(preds, 0), np.concatenate(qids, 0)
+
+
+def evaluate(model, params, loader: BatchLoader) -> Tuple[float, float]:
+    """Soft-accuracy + upper bound over a val loader
+    (``FFOE/train.py:119-149``)."""
+    eval_step = make_eval_step(model)
+    score = 0.0
+    upper = 0.0
+    n = 0
+    for batch in loader:
+        valid = batch.pop("valid")
+        out = eval_step(params, {k: v for k, v in batch.items()
+                                 if k in ("v", "b", "q", "a", "v_mask", "target")})
+        logits = np.asarray(out["logits"])
+        target = np.asarray(batch["target"])
+        one_hot = np.eye(logits.shape[1], dtype=np.float32)[logits.argmax(1)]
+        score += float((one_hot * target)[valid].sum())
+        upper += float(target.max(1)[valid].sum())
+        n += int(valid.sum())
+    return score / max(n, 1), upper / max(n, 1)
+
+
+def make_json(logits: np.ndarray, qids: np.ndarray, label2ans) -> list:
+    """EvalAI format: [{question_id, answer}] (``test.py:114-122``)."""
+    assert logits.shape[0] == len(qids)
+    return [
+        {"question_id": int(qids[i]), "answer": label2ans[int(logits[i].argmax())]}
+        for i in range(logits.shape[0])
+    ]
+
+
+def make_json_with_logits(logits: np.ndarray, qids: np.ndarray) -> dict:
+    """Teacher-logit dump {qid: float16 logits} (``test.py:125-130``) —
+    the input format of ``VQAFeatureDataset(distillation=True)``."""
+    assert logits.shape[0] == len(qids)
+    return {int(qids[i]): logits[i].astype(np.float16)
+            for i in range(logits.shape[0])}
+
+
+def export_results(output_dir: str, split: str, model_name: str, op: str,
+                   num_hid: int, epoch, logits: np.ndarray, qids: np.ndarray,
+                   label2ans, dump_teacher_logits: bool = False) -> dict:
+    """Write the reference's result artifacts (``test.py:177-187``)."""
+    os.makedirs(output_dir, exist_ok=True)
+    paths = {}
+    json_path = os.path.join(
+        output_dir, f"{split}_{model_name}{op}{num_hid}_epoch{epoch}.json")
+    with open(json_path, "w") as f:
+        json.dump(make_json(logits, qids, label2ans), f)
+    paths["json"] = json_path
+    if dump_teacher_logits:
+        pkl_path = os.path.join(output_dir, f"cti_{split}_logits.pkl")
+        with open(pkl_path, "wb") as f:
+            pickle.dump(make_json_with_logits(logits, qids), f)
+        paths["teacher_logits"] = pkl_path
+    return paths

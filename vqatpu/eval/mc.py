@@ -1,0 +1,49 @@
+"""MC (Visual7W) scoring and evaluation.
+
+Reference: ``MC/train.py:14-19`` (``compute_score_mc``) and ``MC/test.py``.
+Logits come from the x4-expanded batch: per 4-candidate group, the argmax of
+the class-0 ("match") probability picks the candidate; score is that
+candidate's ground-truth label.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from vqatpu.data.batching import BatchLoader
+from vqatpu.data.mc_dataset import NUM_CANDIDATES, expand_mc_batch
+from vqatpu.train.steps import make_eval_step
+
+
+def compute_score_mc(logits: np.ndarray, labels: np.ndarray) -> float:
+    """logits [B*4, 2], labels [B*4, 2] -> number of correct picks."""
+    n = NUM_CANDIDATES
+    groups = logits.shape[0] // n
+    # softmax is monotone: argmax over class-0 prob == argmax over
+    # (logit0 - logit1) within the group
+    score01 = logits[:, 0] - logits[:, 1]
+    pick = score01.reshape(groups, n).argmax(1)
+    return float(labels[:, 0].reshape(groups, n)[np.arange(groups), pick].sum())
+
+
+def evaluate_mc(model, params, loader: BatchLoader) -> Tuple[float, float]:
+    """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
+    training (``MC/test.py:89-126``)."""
+    eval_step = make_eval_step(model)
+    score = 0.0
+    n = 0
+    for batch in loader:
+        valid = batch.pop("valid")
+        ex = expand_mc_batch(batch)
+        out = eval_step(params, {k: ex[k] for k in ("v", "b", "q", "a")})
+        logits = np.asarray(out["logits"])
+        groups = np.repeat(valid, NUM_CANDIDATES)
+        # score only valid groups
+        lv = logits[groups]
+        tv = ex["target"][groups]
+        if lv.shape[0]:
+            score += compute_score_mc(lv, tv)
+        n += int(valid.sum())
+    return score / max(n, 1), 1.0

@@ -1,0 +1,131 @@
+"""Epoch-level training loops for the FFOE and MC pipelines.
+
+Reference: ``src/FFOE/train.py:24-116`` and ``src/MC/train.py:22-120``.
+Warmup/decay is per-epoch from the host (the jitted step receives lr as an
+argument), gradient accumulation + clip + Adamax live inside the jitted step
+(``vqatpu/train/steps.py``), checkpointing follows the reference policy
+(every epoch >= ``saving_epoch`` plus best).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqatpu.config import TrainConfig
+from vqatpu.data.batching import BatchLoader
+from vqatpu.data.mc_dataset import expand_mc_batch
+from vqatpu.eval.ffoe import evaluate as evaluate_ffoe
+from vqatpu.eval.mc import evaluate_mc
+from vqatpu.sharding import make_mesh, replicate, shard_batch
+from vqatpu.train.checkpoints import save_checkpoint
+from vqatpu.train.logging import Logger, time_since
+from vqatpu.train.optim import lr_for_epoch
+from vqatpu.train.steps import TrainState, make_train_state, make_train_step
+
+_FFOE_KEYS = ("v", "b", "q", "a", "v_mask", "target", "t_logits")
+
+
+def _device_batch(batch: dict, keys=_FFOE_KEYS) -> dict:
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
+          task: str = "ffoe", state: Optional[TrainState] = None,
+          start_epoch: int = 0, tfidf_loaded: bool = False,
+          use_mesh: bool = True, print_interval: int = 200) -> TrainState:
+    """Run the full training schedule; returns the final state."""
+    os.makedirs(output, exist_ok=True)
+    logger = Logger(os.path.join(output, "log.txt"))
+    logger.write(f"config: {cfg}")
+
+    if state is None:
+        state = make_train_state(model, jax.random.PRNGKey(cfg.seed),
+                                 tfidf_loaded)
+    logger.write(f"nParams=\t{count_params(state.params)}")
+    logger.write(
+        "optim: adamax lr=%.4f, decay_step=%d, decay_rate=%.2f, grad_clip=%.2f"
+        % (cfg.lr, cfg.lr_decay_step, cfg.lr_decay_rate, cfg.clip_norm)
+    )
+
+    mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        state = TrainState(*[replicate(x, mesh) for x in state])
+
+    step_fn = make_train_step(model, cfg, tfidf_loaded)
+    loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                         seed=cfg.seed, drop_last=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    best_eval = 0.0
+    wall_start = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        lr = lr_for_epoch(cfg, epoch)
+        if epoch < len(cfg.warmup_factors):
+            logger.write("gradual warmup lr: %.8f" % lr)
+        else:
+            logger.write("lr: %.8f" % lr)
+
+        t0 = time.time()
+        total_loss, total_norm, train_score = 0.0, 0.0, 0.0
+        count_norm, num_updates, num_rows = 0, 0, 0
+        for i, batch in enumerate(loader):
+            batch.pop("valid", None)
+            if task == "mc":
+                batch = expand_mc_batch(batch)
+            db = _device_batch(batch)
+            if mesh is not None:
+                db = shard_batch(db, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, db, jnp.float32(lr), step_rng)
+            if int(metrics["updated"]):
+                total_loss += float(metrics["loss"])
+                total_norm += float(metrics["grad_norm"])
+                count_norm += 1
+                num_updates += 1
+                train_score += float(metrics["batch_score"])
+            num_rows += db["q"].shape[0]
+            if num_updates and num_updates % max(1, print_interval // cfg.update_freq) == 0 and int(metrics["updated"]):
+                print("Iter: {}, Loss {:.4f}, Norm: {:.4f}, Num updates: {},"
+                      " Wall time: {:.2f}, ETA: {}".format(
+                          i + 1, total_loss / (num_updates + 1),
+                          float(metrics["grad_norm"]), num_updates,
+                          time.time() - wall_start,
+                          time_since(t0, i / max(len(loader), 1))))
+
+        total_loss /= max(num_updates, 1)
+        denom = num_updates * cfg.batch_size * (4 if task == "mc" else 1)
+        train_score = 100.0 * train_score / max(denom, 1)
+
+        eval_score, bound = 0.0, 0.0
+        if eval_ds is not None:
+            eval_loader = BatchLoader(eval_ds, cfg.batch_size)
+            if task == "mc":
+                eval_score, bound = evaluate_mc(model, state.params, eval_loader)
+            else:
+                eval_score, bound = evaluate_ffoe(model, state.params, eval_loader)
+
+        logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
+        logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"
+                     % (total_loss, total_norm / max(count_norm, 1), train_score))
+        if eval_ds is not None:
+            logger.write("\teval score: %.2f (%.2f)"
+                         % (100 * eval_score, 100 * bound))
+
+        if epoch >= cfg.saving_epoch:
+            save_checkpoint(os.path.join(output, f"model_epoch{epoch}.ckpt"),
+                            state, epoch)
+            if eval_ds is not None and eval_score > best_eval:
+                save_checkpoint(os.path.join(output, "model_epoch_best.ckpt"),
+                                state, epoch)
+                best_eval = eval_score
+    return state
