@@ -1,0 +1,112 @@
+"""CLI smoke tests on synthetic fixtures: the reference's command surface
+(`--model`, `--use_TDIUC`, `--distillation`, splits, outputs) end to end."""
+
+import json
+import os
+
+import pytest
+
+from vqatpu.cli import evaluate_tdiuc, ffoe_test, ffoe_train, mc_test, mc_train
+from vqatpu.data.synthetic import make_tdiuc_fixture, make_v7w_fixture, make_vqa_fixture
+
+SMALL = [
+    "--num_hid", "32", "--h_mm", "16", "--rank", "4",
+    "--epochs", "1", "--batch_size", "8", "--max_boxes", "12",
+    "--print_interval", "1000", "--no_mesh",
+]
+
+
+def test_ffoe_train_and_test_cli(tmp_path):
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=24, n_val=16, n_images=8, v_dim=16)
+    out = str(tmp_path / "saved_models")
+    ffoe_train.main([
+        "--model", "cti", "--dataroot", root, "--output", out, *SMALL,
+    ])
+    # saving_epoch=9 > epochs => no epoch ckpt; rerun with more epochs is slow,
+    # so verify the log exists and train() ran
+    assert os.path.exists(os.path.join(out, "log.txt"))
+
+    # run 10 epochs-worth? too slow; instead train with saving by reusing the
+    # loop directly is covered in test_end_to_end. Here exercise test CLI via
+    # a manually saved checkpoint.
+    import jax
+    from vqatpu.data import Dictionary, VQAFeatureDataset
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.models import build_model
+    from vqatpu.train.steps import make_train_state
+    from vqatpu.train.checkpoints import save_checkpoint
+
+    d = Dictionary.load_from_file(os.path.join(root, "dictionary.pkl"))
+    ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    args = ffoe_test.parse_args([
+        "--model", "cti", "--dataroot", root, *SMALL,
+        "--split", "val", "--input", out, "--epoch", "0",
+        "--results", str(tmp_path / "results"),
+    ])
+    model = build_model(model_config_from_args(args, ds))
+    state = make_train_state(model, jax.random.PRNGKey(0))
+    save_checkpoint(os.path.join(out, "model_epoch0.ckpt"), state, 0)
+
+    ffoe_test.main([
+        "--model", "cti", "--dataroot", root, *SMALL,
+        "--split", "val", "--input", out, "--epoch", "0",
+        "--results", str(tmp_path / "results"),
+    ])
+    json_path = os.path.join(str(tmp_path / "results"),
+                             "val_ctic32_epoch0.json")
+    assert os.path.exists(json_path)
+    with open(json_path) as f:
+        assert len(json.load(f)) == 16
+    # CTI dumps teacher logits for the KD loop
+    assert os.path.exists(os.path.join(str(tmp_path / "results"),
+                                       "cti_val_logits.pkl"))
+
+
+def test_tdiuc_train_cli(tmp_path):
+    root = str(tmp_path / "data_TDIUC")
+    make_tdiuc_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "out")
+    ffoe_train.main([
+        "--model", "ban", "--use_TDIUC", "--TDIUC_dir", root,
+        "--output", out, *SMALL,
+    ])
+    assert os.path.exists(os.path.join(out, "log.txt"))
+
+
+def test_mc_train_and_test_cli(tmp_path):
+    root = str(tmp_path / "data_v7w")
+    make_v7w_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "mc_out")
+    mc_train.main([
+        "--model", "cti", "--dataroot", root, "--output", out, *SMALL,
+    ])
+    # MC saving_epoch=0 => checkpoint written for epoch 0
+    assert os.path.exists(os.path.join(out, "model_epoch0.ckpt"))
+    mc_test.main([
+        "--model", "cti", "--dataroot", root, *SMALL,
+        "--split", "test", "--input", out, "--epoch", "0",
+    ])
+
+
+def test_evaluate_tdiuc_cli(tmp_path, capsys):
+    gt = {"annotations": [
+        {"question_id": 1, "question_type": "color",
+         "answers": [{"answer": "red"}]},
+        {"question_id": 2, "question_type": "color",
+         "answers": [{"answer": "blue"}]},
+    ]}
+    gt_path = str(tmp_path / "gt.json")
+    with open(gt_path, "w") as f:
+        json.dump(gt, f)
+    pred_path = str(tmp_path / "pred.json")
+    with open(pred_path, "w") as f:
+        json.dump([{"question_id": 1, "answer": "red"},
+                   {"question_id": 2, "answer": "red"}], f)
+    key_path = str(tmp_path / "key.csv")
+    with open(key_path, "w") as f:
+        f.write("red,0\nblue,1\n")
+    evaluate_tdiuc.main(["--gt_ann", gt_path, "--pred_ann", pred_path,
+                         "--answerkey", key_path])
+    out = capsys.readouterr().out
+    assert "Arithmetic MPT Accuracy is 50.00" in out

@@ -1,0 +1,92 @@
+"""Shared CLI plumbing, preserving the reference's argparse surface
+(``FFOE/main.py:21-79``, ``MC/main.py:21-76``, both ``test.py``), with the
+GPU-index flag replaced by TPU/platform selection."""
+
+from __future__ import annotations
+
+import argparse
+
+from vqatpu.config import ModelConfig, TrainConfig
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--epochs", type=int, default=13)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--num_hid", type=int, default=1024)
+    parser.add_argument("--model", type=str, default="ban",
+                        choices=["ban", "san", "cti", "stacked_attention"])
+    parser.add_argument("--op", type=str, default="c")
+    parser.add_argument("--use_both", action="store_true",
+                        help="use both train/val splits to train")
+    parser.add_argument("--use_vg", action="store_true",
+                        help="augment with Visual Genome questions")
+    parser.add_argument("--tfidf", type=bool, default=True)
+    parser.add_argument("--input", type=str, default=None)
+    parser.add_argument("--output", type=str, default="saved_models/ban")
+    parser.add_argument("--clip_norm", default=0.25, type=float)
+    parser.add_argument("--lr", default=1e-3, type=float)
+    parser.add_argument("--update_freq", default="1")
+    parser.add_argument("--gamma", type=int, default=2, help="glimpse")
+    parser.add_argument("--max_boxes", default=50, type=int)
+    parser.add_argument("--use_counter", action="store_true", default=False)
+    parser.add_argument("--activation", type=str, default="relu",
+                        choices=["relu", "swish"])
+    parser.add_argument("--dropout", default=0.5, type=float)
+    parser.add_argument("--question_len", default=12, type=int)
+    parser.add_argument("--seed", type=int, default=1204)
+    parser.add_argument("--print_interval", default=200, type=int)
+    parser.add_argument("--use_TDIUC", action="store_true", default=False)
+    parser.add_argument("--TDIUC_dir", type=str, default="data_TDIUC")
+    parser.add_argument("--dataroot", type=str, default="data_vqa")
+    # CTI
+    parser.add_argument("--rank", default=32, type=int)
+    parser.add_argument("--h_out", default=1, type=int)
+    parser.add_argument("--h_mm", default=512, type=int)
+    parser.add_argument("--k", default=1, type=int)
+    # Distillation
+    parser.add_argument("--distillation", default=False, action="store_true")
+    parser.add_argument("--T", default=1.5, type=float)
+    parser.add_argument("--alpha", default=0.2, type=float)
+    # SAN
+    parser.add_argument("--num_stacks", default=2, type=int)
+    # TPU
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="limit the data-parallel mesh size")
+    parser.add_argument("--no_mesh", action="store_true",
+                        help="run single-device (no data mesh)")
+
+
+def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:
+    return ModelConfig(
+        ntoken=dataset.dictionary.ntoken,
+        v_dim=dataset.v_dim,
+        num_ans_candidates=dataset.num_ans_candidates,
+        model="san" if args.model == "stacked_attention" else args.model,
+        num_hid=args.num_hid,
+        op=args.op,
+        gamma=args.gamma,
+        activation=args.activation,
+        dropout=args.dropout,
+        use_counter=args.use_counter,
+        num_stacks=args.num_stacks,
+        h_mm=args.h_mm,
+        h_out=args.h_out,
+        rank=args.rank,
+        k=args.k,
+        task=task,
+    )
+
+
+def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
+    return TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        clip_norm=args.clip_norm,
+        update_freq=int(args.update_freq),
+        seed=args.seed,
+        saving_epoch=saving_epoch,
+        distillation=args.distillation,
+        T=args.T,
+        alpha=args.alpha,
+    )

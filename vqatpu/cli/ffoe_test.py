@@ -1,0 +1,54 @@
+"""FFOE inference/export CLI (reference ``src/FFOE/test.py``): batched logit
+sweep -> EvalAI JSON (+ CTI teacher-logit pkl for the KD loop)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from vqatpu.cli.common import add_common_args, model_config_from_args
+from vqatpu.data import BatchLoader, Dictionary, TDIUCFeatureDataset, VQAFeatureDataset
+from vqatpu.eval import export_results, get_logits
+from vqatpu.models import build_model
+from vqatpu.train.checkpoints import load_checkpoint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--split", type=str, default="test2015")
+    parser.add_argument("--logits", type=bool, default=False)
+    parser.add_argument("--epoch", type=str, default="12")
+    parser.add_argument("--results", type=str, default="results")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dataroot = args.TDIUC_dir if args.use_TDIUC else args.dataroot
+    dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
+    ds_cls = TDIUCFeatureDataset if args.use_TDIUC else VQAFeatureDataset
+    eval_dset = ds_cls(args.split, dictionary, dataroot=dataroot,
+                       max_boxes=args.max_boxes, question_len=args.question_len)
+
+    mcfg = model_config_from_args(args, eval_dset)
+    model = build_model(mcfg)
+
+    ckpt_path = os.path.join(args.input, f"model_epoch{args.epoch}.ckpt")
+    payload = load_checkpoint(ckpt_path)
+    params = jax.tree.map(jax.numpy.asarray, payload["params"])
+
+    loader = BatchLoader(eval_dset, args.batch_size)
+    logits, qids = get_logits(model, params, loader)
+    paths = export_results(args.results, args.split, args.model, args.op,
+                           args.num_hid, args.epoch, logits, qids,
+                           eval_dset.label2ans,
+                           dump_teacher_logits=(args.model == "cti"))
+    for kind, path in paths.items():
+        print(f"wrote {kind}: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""MC (Visual7W) evaluation CLI (reference ``src/MC/test.py``): x4 candidate
+expansion sweep, prints accuracy."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from vqatpu.cli.common import add_common_args, model_config_from_args
+from vqatpu.data import BatchLoader, Dictionary, V7WDataset
+from vqatpu.eval import evaluate_mc
+from vqatpu.models import build_model
+from vqatpu.train.checkpoints import load_checkpoint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--epoch", type=str, default="12")
+    parser.add_argument("--use_feature", type=str, default="bottom-up",
+                        choices=["bottom-up", "grid"])
+    parser.set_defaults(batch_size=64, dataroot="data_v7w")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dictionary = Dictionary.load_from_file(
+        os.path.join(args.dataroot, "dictionary.pkl"))
+    eval_dset = V7WDataset(args.split, dictionary, dataroot=args.dataroot,
+                           max_boxes=args.max_boxes,
+                           question_len=args.question_len,
+                           use_feature=args.use_feature)
+
+    mcfg = model_config_from_args(args, eval_dset, task="mc")
+    model = build_model(mcfg)
+
+    ckpt_path = os.path.join(args.input, f"model_epoch{args.epoch}.ckpt")
+    payload = load_checkpoint(ckpt_path)
+    params = jax.tree.map(jax.numpy.asarray, payload["params"])
+
+    acc, _ = evaluate_mc(model, params, BatchLoader(eval_dset, args.batch_size))
+    print(f"{args.split} accuracy: {100 * acc:.2f}")
+
+
+if __name__ == "__main__":
+    main()
