@@ -1,0 +1,74 @@
+"""Benchmark: CTI fwd+bwd training throughput, batch 256, one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md): the reference publishes no CTI throughput;
+its only timing datapoint is BAN at 157.84 s/epoch on a V100-era GPU
+(``bc.py:49-51``) over the VQA-2.0 train split (443,757 questions)
+=> ~2,811 samples/s.  BASELINE.json's target is >= 5x that per chip for CTI
+fwd+bwd, so vs_baseline = (our samples/s) / 2811.  >= 5.0 meets the target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig, TrainConfig
+from vqatpu.models import build_model
+from vqatpu.train.steps import make_train_state, make_train_step
+
+V100_BAN_SAMPLES_PER_SEC = 443_757 / 157.84  # ~2811
+
+
+def main():
+    B, V, Q, A = 256, 50, 12, 3
+    cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
+                      model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
+    tcfg = TrainConfig(update_freq=1, batch_size=B)
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(B, V, 2048).astype(np.float32)
+    v[:, 44:] = 0.0
+    batch = {
+        "v": jnp.asarray(v),
+        "q": jnp.asarray(rng.randint(0, 20000, (B, Q)).astype(np.int32)),
+        "a": jnp.asarray(rng.randint(0, 20000, (B, A)).astype(np.int32)),
+        "v_mask": jnp.asarray(np.arange(V)[None] < 44).repeat(B, 0),
+        "target": jnp.asarray(rng.rand(B, 3129).astype(np.float32)),
+    }
+
+    state = make_train_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model, tcfg)
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, batch, lr, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, lr, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "cti_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / V100_BAN_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
