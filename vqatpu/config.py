@@ -33,6 +33,8 @@ class ModelConfig:
     k: int = 1
     # MC pipeline emits 2-way match/non-match logits (MC/base_model.py:177)
     task: str = "ffoe"  # ffoe | mc
+    # "xla" | "pallas": fused-kernel path for the trilinear hot ops
+    kernel_backend: str = "xla"
 
     @property
     def word_dim(self) -> int:

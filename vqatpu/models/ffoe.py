@@ -189,14 +189,14 @@ class CTIModel:
     def t_att(self):
         return TriAttention(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid,
                             self.cfg.h_mm, 1, self.cfg.rank, self.cfg.gamma,
-                            self.cfg.k)
+                            self.cfg.k, backend=self.cfg.kernel_backend)
 
     @property
     def t_net(self):
         # k=2 joint-embedding TCNet => d = 2*h_mm = num_hid, no rank nets
         return TCNet(self.cfg.v_dim, self.cfg.num_hid, self.cfg.num_hid,
                      self.cfg.h_mm, self.cfg.h_out, self.cfg.rank, 1, k=2,
-                     joint_only=True)
+                     joint_only=True, backend=self.cfg.kernel_backend)
 
     @property
     def prj(self):

@@ -92,12 +92,13 @@ class TriAttention:
     glimpse: int
     k: int
     dropout: Tuple[float, float] = (0.2, 0.5)
+    backend: str = "xla"  # masked-softmax kernel: "xla" | "pallas"
 
     @property
     def tc(self) -> TCNet:
         return TCNet(self.v_dim, self.q_dim, self.a_dim, self.h_dim,
                      self.h_out, self.rank, self.glimpse,
-                     dropout=self.dropout, k=self.k)
+                     dropout=self.dropout, k=self.k, backend=self.backend)
 
     def init(self, key: jax.Array):
         return {"tc": self.tc.init(key)}
@@ -108,7 +109,11 @@ class TriAttention:
         if v_mask is None:
             v_mask = box_mask_from_features(v)
         mask5 = v_mask[:, :, None, None, None]
-        att = masked_softmax(logits, mask5, axes=(1, 2, 3))
+        if self.backend == "pallas":
+            from vqatpu.kernels.trilinear import _masked_softmax_pallas_vjp
+            att = _masked_softmax_pallas_vjp(logits, v_mask)
+        else:
+            att = masked_softmax(logits, mask5, axes=(1, 2, 3))
         masked_logits = jnp.where(mask5, logits, NEG_INF)
         return att, masked_logits
 

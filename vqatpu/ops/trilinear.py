@@ -55,6 +55,9 @@ class TCNet:
     # joint-embedding t_net (k=2, h_mm=512). `joint_only=True` states that
     # intent explicitly so small test configs don't allocate dead params.
     joint_only: bool = False
+    # "xla" or "pallas" — selects the fused-kernel path for the rank
+    # contraction softmax / weighted pooling (vqatpu.kernels.trilinear).
+    backend: str = "xla"
 
     @property
     def d(self) -> int:
@@ -125,24 +128,19 @@ class TCNet:
         q_r = self._rank_project(p["q_net"], q_t, self.dropout[0], ctx)  # [B,Q,R,y]
         a_r = self._rank_project(p["a_net"], a_t, self.dropout[0], ctx)  # [B,A,R,z]
 
+        from vqatpu.kernels.trilinear import attention_logits_xla
+
         T = p["T_g"][..., 0] if self.ho_dim == 1 else p["T_g"].sum(-1)
-        # Sequential mode products, contracting the small Q/A axes first so
-        # the largest intermediate is [B, Q, A, rank, h_sub, g] (tens of MB),
-        # never the rank-expanded [B, V, ...] tensor.  Ranks are summed in
-        # the final contraction, which is a clean MXU GEMM over rank*h_sub.
-        tq = jnp.einsum("bjry,rxyzg->bjrxzg", q_r, T)
-        ta = jnp.einsum("blrz,bjrxzg->bjlrxg", a_r, tq)
-        logits = jnp.einsum("birx,bjlrxg->bijlg", v_r, ta)
-        return logits
+        # Optimized contraction order (smallest intermediates, final step an
+        # MXU GEMM over rank*h_sub) lives in vqatpu.kernels.trilinear.
+        return attention_logits_xla(v_r, q_r, a_r, T)
 
     def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """Fused joint embedding with attention ``w`` [B, V, Q, A] -> [B, d]
         (``tc.py:54-61``)."""
+        from vqatpu.kernels.trilinear import trilinear_pool
+
         v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
         q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
-        # einsum('bdv,bvqa,bdq,bda->bd') factored to avoid B*V*Q*A*d blowup:
-        # first contract w with q_t over q, then a_t over a, then v_t over v.
-        wq = jnp.einsum("bvqa,bqd->bvad", w, q_t)
-        wqa = jnp.einsum("bvad,bad->bvd", wq, a_t)
-        return jnp.einsum("bvd,bvd->bd", wqa, v_t)
+        return trilinear_pool(v_t, q_t, a_t, w, backend=self.backend)
