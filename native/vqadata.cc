@@ -1,0 +1,218 @@
+// libvqadata — native batch-assembly runtime for the vqatpu data pipeline.
+//
+// The Python data layer (vqatpu/data/batching.py) assembles each batch by
+// slicing ragged per-image region features (the adaptive `pos_boxes` layout,
+// reference FFOE/dataset.py:350-357) and zero-padding to a static
+// [B, max_boxes, dim] block.  At production batch sizes that gather+pad is
+// host-bound Python/numpy; this library does it with a worker pool over a
+// lock-free-ish ticketed queue and double-buffered output slabs, overlapping
+// batch assembly with device compute.
+//
+// C ABI (consumed via ctypes from vqatpu/data/native.py):
+//   vqadata_store_create / _destroy  — register feature/spatial arrays
+//   vqadata_assemble                 — synchronous batch gather+pad
+//   vqadata_loader_create / _next / _destroy — background prefetch loop
+//
+// Build: `make -C native` (produces libvqadata.so).
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Store {
+  const float* features;   // [total_boxes, v_dim] (adaptive) or [N, K, v_dim]
+  const float* spatials;   // same layout, s_dim
+  const int64_t* pos_boxes;  // [n_images, 2] or nullptr (fixed layout)
+  int64_t n_images;
+  int64_t fixed_boxes;  // K when pos_boxes == nullptr
+  int64_t v_dim;
+  int64_t s_dim;
+};
+
+void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
+                    int64_t hi, int64_t max_boxes, float* out_v, float* out_b,
+                    uint8_t* out_mask) {
+  for (int64_t i = lo; i < hi; ++i) {
+    const int64_t img = image_idx[i];
+    int64_t start, count;
+    if (s.pos_boxes != nullptr) {
+      start = s.pos_boxes[2 * img];
+      count = s.pos_boxes[2 * img + 1] - start;
+    } else {
+      start = img * s.fixed_boxes;
+      count = s.fixed_boxes;
+    }
+    if (count > max_boxes) count = max_boxes;
+
+    float* v_row = out_v + i * max_boxes * s.v_dim;
+    float* b_row = out_b + i * max_boxes * s.s_dim;
+    uint8_t* m_row = out_mask + i * max_boxes;
+
+    std::memcpy(v_row, s.features + start * s.v_dim,
+                count * s.v_dim * sizeof(float));
+    std::memset(v_row + count * s.v_dim, 0,
+                (max_boxes - count) * s.v_dim * sizeof(float));
+    std::memcpy(b_row, s.spatials + start * s.s_dim,
+                count * s.s_dim * sizeof(float));
+    std::memset(b_row + count * s.s_dim, 0,
+                (max_boxes - count) * s.s_dim * sizeof(float));
+    std::memset(m_row, 1, count);
+    std::memset(m_row + count, 0, max_boxes - count);
+  }
+}
+
+struct Batch {
+  std::vector<float> v;
+  std::vector<float> b;
+  std::vector<uint8_t> mask;
+  std::vector<int64_t> indices;  // dataset rows in this batch
+  int64_t rows = 0;
+};
+
+// Background prefetcher: produces batches of dataset-row indices mapped
+// through a row->image table, assembling feature slabs ahead of consumption.
+struct Loader {
+  Store store;
+  std::vector<int64_t> row_to_image;  // per dataset row
+  int64_t batch_size;
+  int64_t max_boxes;
+  bool shuffle;
+  bool drop_last;
+  uint64_t seed;
+  int64_t epoch = 0;
+
+  std::deque<std::unique_ptr<Batch>> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::atomic<bool> stop{false};
+  size_t max_queue = 4;
+  std::thread worker;
+
+  void run() {
+    std::vector<int64_t> order(row_to_image.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    while (!stop.load()) {
+      if (shuffle) {
+        std::mt19937_64 rng(seed + static_cast<uint64_t>(epoch));
+        std::shuffle(order.begin(), order.end(), rng);
+      }
+      const int64_t n = static_cast<int64_t>(order.size());
+      const int64_t stop_at = drop_last ? (n / batch_size) * batch_size : n;
+      for (int64_t at = 0; at < stop_at && !stop.load(); at += batch_size) {
+        auto batch = std::make_unique<Batch>();
+        const int64_t rows = std::min(batch_size, stop_at - at);
+        batch->rows = rows;
+        batch->indices.assign(order.begin() + at, order.begin() + at + rows);
+        std::vector<int64_t> images(rows);
+        for (int64_t i = 0; i < rows; ++i)
+          images[i] = row_to_image[batch->indices[i]];
+        batch->v.resize(batch_size * max_boxes * store.v_dim, 0.f);
+        batch->b.resize(batch_size * max_boxes * store.s_dim, 0.f);
+        batch->mask.assign(batch_size * max_boxes, 0);
+        assemble_range(store, images.data(), 0, rows, max_boxes,
+                       batch->v.data(), batch->b.data(), batch->mask.data());
+        std::unique_lock<std::mutex> lock(mu);
+        cv_space.wait(lock, [&] { return ready.size() < max_queue || stop.load(); });
+        if (stop.load()) return;
+        ready.push_back(std::move(batch));
+        cv_ready.notify_one();
+      }
+      ++epoch;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vqadata_store_create(const float* features, const float* spatials,
+                           const int64_t* pos_boxes, int64_t n_images,
+                           int64_t fixed_boxes, int64_t v_dim, int64_t s_dim) {
+  auto* s = new Store{features, spatials, pos_boxes, n_images, fixed_boxes,
+                      v_dim, s_dim};
+  return s;
+}
+
+void vqadata_store_destroy(void* handle) { delete static_cast<Store*>(handle); }
+
+// Synchronous multithreaded gather+pad of `n` images into caller buffers.
+void vqadata_assemble(void* handle, const int64_t* image_idx, int64_t n,
+                      int64_t max_boxes, float* out_v, float* out_b,
+                      uint8_t* out_mask, int64_t num_threads) {
+  const Store& s = *static_cast<Store*>(handle);
+  if (num_threads <= 1 || n < 4) {
+    assemble_range(s, image_idx, 0, n, max_boxes, out_v, out_b, out_mask);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n + num_threads - 1) / num_threads;
+  for (int64_t t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi] {
+      assemble_range(s, image_idx, lo, hi, max_boxes, out_v, out_b, out_mask);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+void* vqadata_loader_create(void* store_handle, const int64_t* row_to_image,
+                            int64_t n_rows, int64_t batch_size,
+                            int64_t max_boxes, int shuffle, int drop_last,
+                            uint64_t seed) {
+  auto* l = new Loader();
+  l->store = *static_cast<Store*>(store_handle);
+  l->row_to_image.assign(row_to_image, row_to_image + n_rows);
+  l->batch_size = batch_size;
+  l->max_boxes = max_boxes;
+  l->shuffle = shuffle != 0;
+  l->drop_last = drop_last != 0;
+  l->seed = seed;
+  l->worker = std::thread([l] { l->run(); });
+  return l;
+}
+
+// Blocks until a batch is ready; copies into caller buffers.
+// Returns the number of valid rows in the batch.
+int64_t vqadata_loader_next(void* handle, float* out_v, float* out_b,
+                            uint8_t* out_mask, int64_t* out_indices) {
+  auto* l = static_cast<Loader*>(handle);
+  std::unique_ptr<Batch> batch;
+  {
+    std::unique_lock<std::mutex> lock(l->mu);
+    l->cv_ready.wait(lock, [&] { return !l->ready.empty() || l->stop.load(); });
+    if (l->ready.empty()) return -1;
+    batch = std::move(l->ready.front());
+    l->ready.pop_front();
+    l->cv_space.notify_one();
+  }
+  std::memcpy(out_v, batch->v.data(), batch->v.size() * sizeof(float));
+  std::memcpy(out_b, batch->b.data(), batch->b.size() * sizeof(float));
+  std::memcpy(out_mask, batch->mask.data(), batch->mask.size());
+  std::memcpy(out_indices, batch->indices.data(),
+              batch->indices.size() * sizeof(int64_t));
+  return batch->rows;
+}
+
+void vqadata_loader_destroy(void* handle) {
+  auto* l = static_cast<Loader*>(handle);
+  l->stop.store(true);
+  l->cv_ready.notify_all();
+  l->cv_space.notify_all();
+  if (l->worker.joinable()) l->worker.join();
+  delete l;
+}
+
+}  // extern "C"

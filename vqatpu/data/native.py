@@ -1,0 +1,181 @@
+"""ctypes binding for the native batch-assembly runtime (native/vqadata.cc).
+
+``NativeFeatureStore`` wraps a FeatureStore's arrays for zero-copy gather+pad
+in C++; ``NativeBatchLoader`` is a drop-in BatchLoader replacement whose
+feature slab assembly and shuffle/prefetch loop run on a background C++
+thread pool.  Falls back to the pure-Python loader when the shared library
+is absent and cannot be built (``available()`` reports state).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvqadata.so")
+
+_lib = None
+
+
+def _load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.vqadata_store_create.restype = ctypes.c_void_p
+    lib.vqadata_store_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.vqadata_store_destroy.argtypes = [ctypes.c_void_p]
+    lib.vqadata_assemble.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.vqadata_loader_create.restype = ctypes.c_void_p
+    lib.vqadata_loader_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+    lib.vqadata_loader_next.restype = ctypes.c_int64
+    lib.vqadata_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.vqadata_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load_library() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeFeatureStore:
+    """Registers feature arrays with the native runtime."""
+
+    def __init__(self, store):
+        lib = _load_library()
+        assert lib is not None, "libvqadata.so unavailable"
+        self._lib = lib
+        # keep references so the arrays outlive the C handle
+        self.features = np.ascontiguousarray(store.features, np.float32)
+        self.spatials = np.ascontiguousarray(store.spatials, np.float32)
+        self.adaptive = store.adaptive
+        if self.adaptive:
+            self.pos_boxes = np.ascontiguousarray(store.pos_boxes, np.int64)
+            pos_ptr = _ptr(self.pos_boxes)
+            n_images = self.pos_boxes.shape[0]
+            fixed = 0
+            self.v_dim = self.features.shape[1]
+            self.s_dim = self.spatials.shape[1]
+        else:
+            self.pos_boxes = None
+            pos_ptr = None
+            n_images = self.features.shape[0]
+            fixed = self.features.shape[1]
+            self.v_dim = self.features.shape[2]
+            self.s_dim = self.spatials.shape[2]
+        self._handle = lib.vqadata_store_create(
+            _ptr(self.features), _ptr(self.spatials), pos_ptr,
+            n_images, fixed, self.v_dim, self.s_dim)
+
+    def assemble(self, image_idx: np.ndarray, max_boxes: int,
+                 num_threads: int = 8):
+        n = len(image_idx)
+        idx = np.ascontiguousarray(image_idx, np.int64)
+        out_v = np.empty((n, max_boxes, self.v_dim), np.float32)
+        out_b = np.empty((n, max_boxes, self.s_dim), np.float32)
+        out_m = np.empty((n, max_boxes), np.uint8)
+        self._lib.vqadata_assemble(self._handle, _ptr(idx), n, max_boxes,
+                                   _ptr(out_v), _ptr(out_b), _ptr(out_m),
+                                   num_threads)
+        return out_v, out_b, out_m.astype(bool)
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib is not None:
+            self._lib.vqadata_store_destroy(self._handle)
+            self._handle = None
+
+
+class NativeBatchLoader:
+    """Background-prefetching loader over a dataset with the standard
+    ``sample()`` protocol.  Feature slabs (v/b/v_mask) are assembled in C++;
+    small per-row fields (q/a/target/qid) are precomputed once as dense
+    numpy arrays and sliced per batch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 1204, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        lib = _load_library()
+        assert lib is not None, "libvqadata.so unavailable"
+        self._lib = lib
+        self.store = NativeFeatureStore(dataset.store)
+        self.max_boxes = dataset.max_boxes
+
+        n = len(dataset)
+        self._row_to_image = np.asarray(
+            [dataset.entries[i]["image"] for i in range(n)], np.int64)
+        # precompute small fields once (dense, cheap)
+        sample0 = dataset.sample(0)
+        self._fields: Dict[str, np.ndarray] = {}
+        for key in sample0:
+            if key in ("v", "b", "v_mask"):
+                continue
+            self._fields[key] = np.stack(
+                [dataset.sample(i)[key] for i in range(n)], 0)
+
+        self._handle = lib.vqadata_loader_create(
+            self.store._handle, _ptr(self._row_to_image), n, batch_size,
+            self.max_boxes, int(shuffle), int(drop_last), seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for _ in range(len(self)):
+            yield self.next_batch()
+
+    def next_batch(self) -> Dict[str, np.ndarray]:
+        bs = self.batch_size
+        out_v = np.empty((bs, self.max_boxes, self.store.v_dim), np.float32)
+        out_b = np.empty((bs, self.max_boxes, self.store.s_dim), np.float32)
+        out_m = np.empty((bs, self.max_boxes), np.uint8)
+        out_idx = np.empty((bs,), np.int64)
+        rows = self._lib.vqadata_loader_next(
+            self._handle, _ptr(out_v), _ptr(out_b), _ptr(out_m), _ptr(out_idx))
+        assert rows > 0, "native loader stopped"
+        batch = {"v": out_v, "b": out_b, "v_mask": out_m.astype(bool)}
+        valid = np.zeros((bs,), bool)
+        valid[:rows] = True
+        idx = out_idx[:rows]
+        for key, table in self._fields.items():
+            field = np.zeros((bs,) + table.shape[1:], table.dtype)
+            field[:rows] = table[idx]
+            batch[key] = field
+        batch["valid"] = valid
+        return batch
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.vqadata_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()
