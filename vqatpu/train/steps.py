@@ -64,6 +64,14 @@ def make_optimizer():
     return adamax_with_lr()
 
 
+def cast_floats(tree, dtype):
+    """Cast floating leaves to ``dtype`` (mixed-precision activations)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False) -> TrainState:
     params = model.init(key)
     tx = make_optimizer()
@@ -84,14 +92,21 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False):
     """
     tx = make_optimizer()
     distill = cfg.distillation and model.cfg.model in ("ban", "san")
+    half = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def loss_fn(params, batch, rng):
         ctx = Ctx(train=True, rng=rng)
+        if half is not None:
+            # bf16 activations/params in the forward+backward; f32 master
+            # params, loss, and optimizer state stay outside.
+            params = cast_floats(params, half)
+            batch = dict(batch, v=batch["v"].astype(half))
         logits, _ = model.apply(params, batch, ctx)
-        target = batch["target"]
+        logits = logits.astype(jnp.float32)
+        target = batch["target"].astype(jnp.float32)
         if distill:
-            loss = distillation_loss(logits, batch["t_logits"], target,
-                                     cfg.T, cfg.alpha)
+            loss = distillation_loss(logits, batch["t_logits"].astype(jnp.float32),
+                                     target, cfg.T, cfg.alpha)
         else:
             loss = bce_with_logits_sum(logits, target) / logits.shape[0]
         return loss, logits
