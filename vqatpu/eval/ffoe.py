@@ -56,6 +56,18 @@ def evaluate(model, params, loader: BatchLoader) -> Tuple[float, float]:
     return score / max(n, 1), upper / max(n, 1)
 
 
+def compute_score_with_embedding(pred_emb: np.ndarray, labels: np.ndarray,
+                                 ans_emb: np.ndarray) -> np.ndarray:
+    """Embedding-distance scoring (``FFOE/test.py:68-75``): predict the
+    answer whose embedding is nearest (L2) to the model output, score it
+    against the soft targets.  ``pred_emb [N, D]``, ``ans_emb [num_ans, D]``,
+    ``labels [N, num_ans]`` -> per-sample soft scores [N]."""
+    # [N, num_ans] pairwise distances
+    d = np.linalg.norm(pred_emb[:, None, :] - ans_emb[None, :, :], axis=2)
+    pick = d.argmin(axis=1)
+    return labels[np.arange(labels.shape[0]), pick]
+
+
 def make_json(logits: np.ndarray, qids: np.ndarray, label2ans) -> list:
     """EvalAI format: [{question_id, answer}] (``test.py:114-122``)."""
     assert logits.shape[0] == len(qids)

@@ -28,6 +28,18 @@ def compute_score_mc(logits: np.ndarray, labels: np.ndarray) -> float:
     return float(labels[:, 0].reshape(groups, n)[np.arange(groups), pick].sum())
 
 
+def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
+                           gt_emb: np.ndarray) -> np.ndarray:
+    """Embedding-space MC scoring (``MC/trainer.py:302-312``): pick the
+    candidate whose embedding is nearest to the prediction; correct when it
+    coincides with the ground-truth embedding.  ``pred_emb [B, D]``,
+    ``mc_emb [B, 4, D]``, ``gt_emb [B, D]`` -> bool [B]."""
+    d = np.linalg.norm(pred_emb[:, None, :] - mc_emb, axis=2)  # [B, 4]
+    pick = d.argmin(axis=1)
+    chosen = mc_emb[np.arange(mc_emb.shape[0]), pick]
+    return (chosen - gt_emb).sum(axis=1) == 0
+
+
 def evaluate_mc(model, params, loader: BatchLoader) -> Tuple[float, float]:
     """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
     training (``MC/test.py:89-126``)."""
