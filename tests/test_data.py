@@ -131,3 +131,48 @@ def test_v7w_dataset_and_expansion(tmp_path):
     np.testing.assert_array_equal(pos, np.ones(8))
     # [a, 1-a] structure
     np.testing.assert_allclose(ex["target"].sum(1), np.ones(32))
+
+
+def test_visualgenome_augmentation(vqa_root):
+    from vqatpu.data import ConcatDataset, VisualGenomeFeatureDataset
+    from vqatpu.data.synthetic import add_visualgenome_fixture
+
+    root, d = vqa_root
+    add_visualgenome_fixture(root)
+    base = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15)
+    vg = VisualGenomeFeatureDataset("train", base.store, d, dataroot=root,
+                                    max_boxes=15,
+                                    img_id2idx=base.img_id2idx)
+    assert len(vg) > 0
+    s = vg.sample(0)
+    assert s["v"].shape == (15, base.v_dim)
+    assert s["target"].sum() == 1.0  # single hard label, score 1.0
+    # entry cache written for reuse
+    import os
+    assert os.path.exists(os.path.join(root, "cache", "vg_train_adaptive_target.pkl"))
+
+    both = ConcatDataset([base, vg])
+    assert len(both) == len(base) + len(vg)
+    # indices past the base dataset resolve into VG
+    s2 = both.sample(len(base))
+    np.testing.assert_array_equal(s2["q"], vg.sample(0)["q"])
+
+
+def test_mode_product_and_fcstl(rng):
+    import jax
+    import jax.numpy as jnp
+    from vqatpu.ops import FCSTL, mode_product
+
+    core = jnp.asarray(rng.randn(1, 4, 5, 6, 2).astype(np.float32))
+    m1 = jnp.asarray(rng.randn(3, 7, 4).astype(np.float32))
+    m2 = jnp.asarray(rng.randn(3, 8, 5).astype(np.float32))
+    m3 = jnp.asarray(rng.randn(3, 9, 6).astype(np.float32))
+    out = mode_product(core, m1, m2, m3)
+    want = np.einsum("bix,bjy,blz,oxyzw->bijlw", m1, m2, m3, core)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+    stl = FCSTL(6, 4)
+    p = stl.init(jax.random.PRNGKey(0))
+    y = stl.apply(p, jnp.ones((2, 6)))
+    assert y.shape == (2, 4)
+    assert float(jnp.abs(y).max()) <= 1.0  # tanh-bounded

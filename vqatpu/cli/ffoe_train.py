@@ -81,10 +81,12 @@ def main(argv=None):
             parts += [
                 VisualGenomeFeatureDataset("train", train_dset.store,
                                            dictionary, dataroot=dataroot,
-                                           max_boxes=args.max_boxes),
+                                           max_boxes=args.max_boxes,
+                                           img_id2idx=train_dset.img_id2idx),
                 VisualGenomeFeatureDataset("val", val_dset.store,
                                            dictionary, dataroot=dataroot,
-                                           max_boxes=args.max_boxes),
+                                           max_boxes=args.max_boxes,
+                                           img_id2idx=val_dset.img_id2idx),
             ]
         train_ds, eval_ds = ConcatDataset(parts), None
     else:

@@ -219,14 +219,63 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
         return out
 
 
+def build_visualgenome_entries(dataroot: str, name: str, img_id2idx: dict,
+                               ans2label: dict, adaptive: bool = True
+                               ) -> List[dict]:
+    """Build VG augmentation entries from the raw ``question_answers.json``
+    + ``image_data.json`` dumps, caching to ``cache/vg_{name}_target.pkl``
+    (``_load_visualgenome``, ``FFOE/dataset.py:189-249``).  Keeps only VG
+    questions whose COCO image is in this split and whose normalized answer
+    is in the answer vocabulary (score 1.0)."""
+    from vqatpu.tools.vqa_normalize import preprocess_answer
+
+    cache_path = os.path.join(
+        dataroot, "cache", f"vg_{name}{'_adaptive' if adaptive else ''}_target.pkl")
+    if os.path.isfile(cache_path):
+        return _load_pickle(cache_path)
+
+    with open(os.path.join(dataroot, "question_answers.json")) as f:
+        vgq = json.load(f)
+    with open(os.path.join(dataroot, "image_data.json")) as f:
+        image_data = json.load(f)
+    vg_to_coco = {v["image_id"]: v["coco_id"] for v in image_data
+                  if v.get("coco_id") is not None}
+
+    entries = []
+    for vg in vgq:
+        coco_id = vg_to_coco.get(vg["id"])
+        if coco_id is None:
+            continue
+        img_idx = img_id2idx.get(coco_id)
+        if img_idx is None:
+            continue
+        for q in vg["qas"]:
+            label = ans2label.get(preprocess_answer(q["answer"]))
+            if label is None:
+                continue
+            entries.append({
+                "question_id": q["qa_id"],
+                "image_id": coco_id,
+                "image": img_idx,
+                "question": q["question"],
+                "answer": {"labels": [label], "scores": [1.0]},
+            })
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    with open(cache_path, "wb") as f:
+        pickle.dump(entries, f)
+    return entries
+
+
 class VisualGenomeFeatureDataset:
     """VG question augmentation sharing an existing feature store
-    (``FFOE/dataset.py:483-569``). Entries come from the pre-built
-    ``cache/vg_{name}_target.pkl`` (built by ``_load_visualgenome``)."""
+    (``FFOE/dataset.py:483-569``). Entries come from
+    ``cache/vg_{name}_target.pkl``, built on demand from the raw VG dumps by
+    :func:`build_visualgenome_entries`."""
 
     def __init__(self, name: str, store: FeatureStore, dictionary: Dictionary,
                  dataroot: str = "data_vqa", max_boxes: int = 50,
-                 question_len: int = QUESTION_LEN):
+                 question_len: int = QUESTION_LEN,
+                 img_id2idx: Optional[dict] = None):
         assert name in ("train", "val")
         self.store = store
         self.dictionary = dictionary
@@ -236,10 +285,12 @@ class VisualGenomeFeatureDataset:
         self.label2ans = _load_pickle(
             os.path.join(dataroot, "cache", "trainval_label2ans.pkl"))
         self.num_ans_candidates = len(self.ans2label)
-        cache = os.path.join(dataroot, "cache", f"vg_{name}_adaptive_target.pkl")
-        if not os.path.exists(cache):
-            cache = os.path.join(dataroot, "cache", f"vg_{name}_target.pkl")
-        self.entries = _load_pickle(cache)
+        if img_id2idx is None:
+            img_id2idx = _load_pickle(
+                os.path.join(dataroot, f"{name}_imgid2idx.pkl"))
+        self.entries = build_visualgenome_entries(
+            dataroot, name, img_id2idx, self.ans2label,
+            adaptive=store.adaptive)
         for e in self.entries:
             e["q_token"] = np.asarray(
                 dictionary.tokenize_padded(e["question"], question_len), np.int32)

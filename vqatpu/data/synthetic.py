@@ -122,6 +122,36 @@ def make_vqa_fixture(dataroot: str, n_train: int = 64, n_val: int = 32,
     return d
 
 
+def add_visualgenome_fixture(dataroot: str, n_questions: int = 20,
+                             seed: int = 5) -> None:
+    """Raw VG dumps (question_answers.json + image_data.json) over the VQA
+    fixture's train images, for ``build_visualgenome_entries``."""
+    rng = np.random.RandomState(seed)
+    with open(os.path.join(dataroot, "train_imgid2idx.pkl"), "rb") as f:
+        img_id2idx = pickle.load(f)
+    coco_ids = list(img_id2idx)
+    image_data, vgq = [], []
+    for i, coco_id in enumerate(coco_ids):
+        vg_id = 90000 + i
+        image_data.append({"image_id": vg_id, "coco_id": coco_id})
+        qas = []
+        for j in range(max(1, n_questions // len(coco_ids))):
+            qas.append({
+                "qa_id": 500000 + i * 100 + j,
+                "question": _questions(rng, 1)[0],
+                "answer": str(rng.choice(ANSWERS)),
+            })
+        vgq.append({"id": vg_id, "qas": qas})
+    # one VG image without a COCO mapping (must be skipped)
+    image_data.append({"image_id": 99999, "coco_id": None})
+    vgq.append({"id": 99999,
+                "qas": [{"qa_id": 599999, "question": "what?", "answer": "red"}]})
+    with open(os.path.join(dataroot, "image_data.json"), "w") as f:
+        json.dump(image_data, f)
+    with open(os.path.join(dataroot, "question_answers.json"), "w") as f:
+        json.dump(vgq, f)
+
+
 def make_tdiuc_fixture(dataroot: str, n_train: int = 48, n_val: int = 24,
                        n_images: int = 16, v_dim: int = 64,
                        seed: int = 1) -> Dictionary:

@@ -76,6 +76,23 @@ class Linear:
 
 
 @config
+class FCSTL:
+    """Single tanh layer ``Dropout -> Linear -> Tanh`` (reference
+    ``fc.py:36-44``; unused by the shipped models, kept for API parity)."""
+
+    in_dim: int
+    out_dim: int
+    dropout: float = 0.0
+
+    def init(self, key: jax.Array):
+        return {"l0": Linear(self.in_dim, self.out_dim).init(key)}
+
+    def apply(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        x = dropout(x, self.dropout, ctx)
+        return jnp.tanh(Linear(self.in_dim, self.out_dim).apply(p["l0"], x))
+
+
+@config
 class FCNet:
     """Non-linear fully-connected stack (reference ``fc.py:10-34``)."""
 

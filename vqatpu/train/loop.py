@@ -77,7 +77,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
         t0 = time.time()
         total_loss, total_norm, train_score = 0.0, 0.0, 0.0
-        count_norm, num_updates, num_rows = 0, 0, 0
+        count_norm, num_updates, num_rows, num_oom = 0, 0, 0, 0
         for i, batch in enumerate(loader):
             batch.pop("valid", None)
             if task == "mc":
@@ -86,7 +86,17 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             if mesh is not None:
                 db = shard_batch(db, mesh)
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, db, jnp.float32(lr), step_rng)
+            try:
+                state, metrics = step_fn(state, db, jnp.float32(lr), step_rng)
+            except jax.errors.JaxRuntimeError as e:
+                # best-effort batch-skip recovery, the reference's OOM policy
+                # (FFOE/trainer.py:206-219); the functional state is
+                # untouched by a failed step, so we just move on.
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                num_oom += 1
+                logger.write(f"| WARNING: out of memory, skipping batch {i}")
+                continue
             if int(metrics["updated"]):
                 total_loss += float(metrics["loss"])
                 total_norm += float(metrics["grad_norm"])
@@ -117,6 +127,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"
                      % (total_loss, total_norm / max(count_norm, 1), train_score))
+        if num_oom:
+            logger.write("\tskipped %d batches (OOM)" % num_oom)
         if eval_ds is not None:
             logger.write("\teval score: %.2f (%.2f)"
                          % (100 * eval_score, 100 * bound))
