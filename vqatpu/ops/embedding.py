@@ -87,12 +87,13 @@ class WordEmbedding:
         return mask
 
     def apply(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
-        # Zero the pad row structurally (padding_idx semantics).
-        row_mask = (
-            jnp.arange(self.ntoken + 1) != self.ntoken
-        ).astype(p["emb"].dtype)[:, None]
-        emb = jnp.take(p["emb"] * row_mask, x, axis=0)
+        # padding_idx semantics: zero output for pad tokens AND zero gradient
+        # to the pad row.  Masking the *gathered output* (not the whole
+        # table) gives both — the cotangent scatters 0 into the pad row —
+        # and costs O(B*Q*dim) instead of O(ntoken*dim) per step.
+        out_mask = (x != self.ntoken).astype(p["emb"].dtype)[..., None]
+        emb = jnp.take(p["emb"], x, axis=0) * out_mask
         if self.cat:
-            emb_ = jnp.take(p["emb_"] * row_mask, x, axis=0)
+            emb_ = jnp.take(p["emb_"], x, axis=0) * out_mask
             emb = jnp.concatenate([emb, emb_], axis=-1)
         return dropout(emb, self.dropout, ctx)

@@ -41,7 +41,9 @@ def _gru_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         return h_new, h_new
 
     h0 = jnp.zeros((B, H), x_btf.dtype)
-    _, hs = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1), reverse=reverse)
+    T = x_btf.shape[1]
+    _, hs = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1),
+                         reverse=reverse, unroll=min(T, 16))
     return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
@@ -64,7 +66,9 @@ def _lstm_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         return (h_new, c_new), h_new
 
     init = (jnp.zeros((B, H), x_btf.dtype), jnp.zeros((B, H), x_btf.dtype))
-    _, hs = jax.lax.scan(cell, init, jnp.swapaxes(gi_all, 0, 1), reverse=reverse)
+    T = x_btf.shape[1]
+    _, hs = jax.lax.scan(cell, init, jnp.swapaxes(gi_all, 0, 1),
+                         reverse=reverse, unroll=min(T, 16))
     return jnp.swapaxes(hs, 0, 1)
 
 
