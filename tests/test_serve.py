@@ -1,0 +1,64 @@
+"""Serving API: checkpoint -> bucketed batched inference -> answer strings."""
+
+import numpy as np
+
+import jax
+
+from vqatpu.config import ModelConfig
+from vqatpu.serve import InferenceSession
+from vqatpu.models import build_model
+from vqatpu.train.checkpoints import save_checkpoint
+from vqatpu.train.steps import make_train_state
+
+NTOKEN, V_DIM, NUM_ANS = 30, 16, 7
+ANS = [f"ans{i}" for i in range(NUM_ANS)]
+
+
+def make_session(tmp_path, model="cti"):
+    cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
+                      model=model, num_hid=16, h_mm=8, rank=2, gamma=2)
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, state, epoch=0)
+    return InferenceSession.from_checkpoint(
+        path, cfg, ANS, batch_buckets=(2, 4, 8), max_boxes=10)
+
+
+def reqs(rng, n, boxes=6):
+    v = rng.randn(n, boxes, V_DIM).astype(np.float32)
+    b = rng.rand(n, boxes, 6).astype(np.float32)
+    q = rng.randint(0, NTOKEN + 1, (n, 12))
+    a = rng.randint(0, NTOKEN + 1, (n, 3))
+    return v, b, q, a
+
+
+def test_answers_and_bucketing(tmp_path, rng):
+    sess = make_session(tmp_path)
+    v, b, q, a = reqs(rng, 3)
+    answers = sess.answer(v, b, q, a)
+    assert len(answers) == 3
+    assert all(ans in ANS for ans in answers)
+    # 3 requests -> bucket 4 compiled; only that bucket cached
+    assert list(sess._predict_cache) == [4]
+    # single request reuses a smaller bucket
+    sess.answer(v[:1], b[:1], q[:1], a[:1])
+    assert sorted(sess._predict_cache) == [2, 4]
+
+
+def test_padding_invariance(tmp_path, rng):
+    """Padded rows must not change the real rows' logits."""
+    sess = make_session(tmp_path)
+    v, b, q, a = reqs(rng, 4)
+    full = sess.logits(v, b, q, a)
+    partial = sess.logits(v[:3], b[:3], q[:3], a[:3])  # padded to bucket 4
+    np.testing.assert_allclose(partial, full[:3], atol=1e-5)
+
+
+def test_chunking_beyond_largest_bucket(tmp_path, rng):
+    sess = make_session(tmp_path)
+    v, b, q, a = reqs(rng, 19)  # > largest bucket 8 -> 3 chunks
+    out = sess.logits(v, b, q, a)
+    assert out.shape == (19, NUM_ANS)
+    np.testing.assert_allclose(out[:4], sess.logits(v[:4], b[:4], q[:4], a[:4]),
+                               atol=1e-5)

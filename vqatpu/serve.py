@@ -1,0 +1,122 @@
+"""Inference/serving session: checkpoint -> answer strings.
+
+The reference has no serving story beyond the offline ``test.py`` sweep;
+this is the production-facing API the framework adds on top:
+
+- one jit-compiled predict function per (batch, boxes) bucket — static
+  shapes mean each bucket compiles once and stays hot;
+- micro-batching: ragged request lists are packed into the smallest
+  bucket, padded rows masked out;
+- outputs: argmax answer strings (EvalAI semantics, ``FFOE/test.py:66-67``)
+  and optionally raw logits.
+
+Usage::
+
+    sess = InferenceSession.from_checkpoint(ckpt, model_cfg, label2ans)
+    answers = sess.answer(features, spatials, question_tokens, answer_tokens)
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig
+from vqatpu.models import build_model
+from vqatpu.train.checkpoints import load_checkpoint
+
+
+class InferenceSession:
+    def __init__(self, model, params, label2ans: Sequence[str],
+                 batch_buckets: Sequence[int] = (1, 8, 32, 128),
+                 max_boxes: int = 50):
+        self.model = model
+        self.params = params
+        self.label2ans = list(label2ans)
+        self.batch_buckets = sorted(batch_buckets)
+        self.max_boxes = max_boxes
+        self._predict_cache: Dict[int, callable] = {}
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: ModelConfig,
+                        label2ans: Sequence[str], **kw) -> "InferenceSession":
+        model = build_model(cfg)
+        payload = load_checkpoint(path)
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        return cls(model, params, label2ans, **kw)
+
+    def _predict_fn(self, bucket: int):
+        if bucket not in self._predict_cache:
+            model = self.model
+
+            @jax.jit
+            def predict(params, batch):
+                logits, _ = model.apply(params, batch)
+                return logits
+
+            self._predict_cache[bucket] = predict
+        return self._predict_cache[bucket]
+
+    def _bucket_for(self, n: int) -> int:
+        i = bisect.bisect_left(self.batch_buckets, n)
+        if i == len(self.batch_buckets):
+            return self.batch_buckets[-1]
+        return self.batch_buckets[i]
+
+    def logits(self, v: np.ndarray, b: Optional[np.ndarray],
+               q: np.ndarray, a: Optional[np.ndarray] = None) -> np.ndarray:
+        """Batched raw logits. ``v [N, boxes<=max_boxes, v_dim]``,
+        ``q [N, Q]`` int tokens, ``a [N, A]`` (CTI).  N may exceed the
+        largest bucket; requests are chunked."""
+        n = v.shape[0]
+        out = []
+        largest = self.batch_buckets[-1]
+        for start in range(0, n, largest):
+            out.append(self._logits_chunk(
+                v[start:start + largest],
+                None if b is None else b[start:start + largest],
+                q[start:start + largest],
+                None if a is None else a[start:start + largest]))
+        return np.concatenate(out, 0)
+
+    def _logits_chunk(self, v, b, q, a) -> np.ndarray:
+        n = v.shape[0]
+        bucket = self._bucket_for(n)
+
+        def pad_rows(x):
+            if x is None or x.shape[0] == bucket:
+                return x
+            pad = np.zeros((bucket - x.shape[0],) + x.shape[1:], x.dtype)
+            return np.concatenate([x, pad], 0)
+
+        def pad_boxes(x):
+            if x is None or x.shape[1] == self.max_boxes:
+                return x
+            pad = np.zeros((x.shape[0], self.max_boxes - x.shape[1]) + x.shape[2:],
+                           x.dtype)
+            return np.concatenate([x, pad], 1)
+
+        mask = np.zeros((v.shape[0], self.max_boxes), bool)
+        mask[:, :v.shape[1]] = np.abs(v).sum(-1) != 0
+
+        batch = {
+            "v": jnp.asarray(pad_rows(pad_boxes(v.astype(np.float32)))),
+            "q": jnp.asarray(pad_rows(q.astype(np.int32))),
+            "v_mask": jnp.asarray(pad_rows(mask)),
+        }
+        if b is not None:
+            batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(np.float32))))
+        if a is not None:
+            batch["a"] = jnp.asarray(pad_rows(a.astype(np.int32)))
+        logits = self._predict_fn(bucket)(self.params, batch)
+        return np.asarray(logits)[:n]
+
+    def answer(self, v, b, q, a=None) -> List[str]:
+        """Argmax answer strings for a batch of requests."""
+        logits = self.logits(v, b, q, a)
+        return [self.label2ans[int(i)] for i in logits.argmax(1)]
