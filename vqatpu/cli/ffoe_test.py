@@ -46,6 +46,12 @@ def main(argv=None):
                            args.num_hid, args.epoch, logits, qids,
                            eval_dset.label2ans,
                            dump_teacher_logits=(args.model == "cti"))
+    if args.logits:
+        # raw logit dump (reference test.py:173-175 saves a .pth tensor)
+        import numpy as np
+        raw = os.path.join(args.results, f"{args.split}_{args.model}_logits.npz")
+        np.savez(raw, logits=logits, question_ids=qids)
+        paths["raw_logits"] = raw
     for kind, path in paths.items():
         print(f"wrote {kind}: {path}")
 

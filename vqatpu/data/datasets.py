@@ -149,7 +149,7 @@ class VQAFeatureDataset(_FeatureDatasetBase):
                  dataroot: str = "data_vqa", max_boxes: int = 50,
                  question_len: int = QUESTION_LEN, adaptive: bool = True,
                  distillation: bool = False):
-        assert name in ("train", "val", "test2015")
+        assert name in ("train", "val", "test2015", "test-dev2015")
         super().__init__(dataroot, name, dictionary, max_boxes, adaptive)
         self.teacher_logits: Dict = {}
         if distillation:
