@@ -16,13 +16,14 @@ virtual CPU devices under ``--xla_force_host_platform_device_count``).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -30,6 +31,46 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(dp: int, tp: int) -> Mesh:
+    """2-D (data x model) mesh for the stretch config (SURVEY.md §2.5 TP
+    row): model axis shards the classifier vocab dim and the PARALIND core's
+    rank dim; data axis shards the batch."""
+    devices = jax.devices()[: dp * tp]
+    assert len(devices) == dp * tp, (len(devices), dp, tp)
+    return Mesh(np.asarray(devices).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for params on a 2-D mesh: classifier output dim
+    and T_g rank dim sharded over ``model``; everything else replicated.
+    On a 1-D mesh everything replicates (pure DP)."""
+    has_model = MODEL_AXIS in mesh.axis_names
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        spec = P()
+        if has_model:
+            if len(path) >= 2 and path[0] == "classifier" and path[-2] == "l2":
+                # final vocab projection: shard out_dim (v is [out, in])
+                if path[-1] == "v":
+                    spec = P(MODEL_AXIS, None)
+                elif path[-1] == "b":
+                    spec = P(MODEL_AXIS)
+            elif path[-1] == "T_g":
+                spec = P(MODEL_AXIS)  # rank dim of the PARALIND core
+            elif len(path) >= 3 and path[-3] in ("v_net", "q_net", "a_net"):
+                spec = P(MODEL_AXIS)  # stacked per-rank nets: [rank, ...]
+        return NamedSharding(mesh, spec)
+
+    return walk(params, ())
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
