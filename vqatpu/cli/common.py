@@ -54,6 +54,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="limit the data-parallel mesh size")
     parser.add_argument("--no_mesh", action="store_true",
                         help="run single-device (no data mesh)")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="use the C++ prefetch data loader (libvqadata)")
 
 
 def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:

@@ -95,7 +95,8 @@ def main(argv=None):
     train(model, train_ds, eval_ds, tcfg, args.output,
           state=state, start_epoch=start_epoch,
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
-          print_interval=args.print_interval)
+          print_interval=args.print_interval,
+          use_native_loader=args.native_loader)
 
 
 if __name__ == "__main__":

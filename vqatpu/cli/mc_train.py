@@ -66,7 +66,8 @@ def main(argv=None):
     train(model, train_dset, val_dset, tcfg, args.output, task="mc",
           state=state, start_epoch=start_epoch,
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
-          print_interval=args.print_interval)
+          print_interval=args.print_interval,
+          use_native_loader=args.native_loader)
 
 
 if __name__ == "__main__":

@@ -39,10 +39,27 @@ def count_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
+    """Prefer the native C++ prefetch loader when available and the dataset
+    exposes a FeatureStore (FFOE/V7W); fall back to the Python loader."""
+    if use_native and hasattr(dataset, "store") and hasattr(dataset, "entries"):
+        try:
+            from vqatpu.data import native
+            if native.available():
+                return native.NativeBatchLoader(
+                    dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                    drop_last=True)
+        except Exception:
+            pass
+    return BatchLoader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                       drop_last=True)
+
+
 def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           task: str = "ffoe", state: Optional[TrainState] = None,
           start_epoch: int = 0, tfidf_loaded: bool = False,
-          use_mesh: bool = True, print_interval: int = 200) -> TrainState:
+          use_mesh: bool = True, print_interval: int = 200,
+          use_native_loader: bool = False) -> TrainState:
     """Run the full training schedule; returns the final state."""
     os.makedirs(output, exist_ok=True)
     logger = Logger(os.path.join(output, "log.txt"))
@@ -62,8 +79,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         state = TrainState(*[replicate(x, mesh) for x in state])
 
     step_fn = make_train_step(model, cfg, tfidf_loaded)
-    loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                         seed=cfg.seed, drop_last=True)
+    loader = _make_loader(train_ds, cfg, use_native_loader)
     rng = jax.random.PRNGKey(cfg.seed)
 
     best_eval = 0.0
