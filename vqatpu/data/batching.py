@@ -10,7 +10,7 @@ stack to ONE static shape; the final partial batch is zero-padded to
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -11,11 +11,9 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
-
-import jax
 
 from vqatpu.data.batching import BatchLoader
 from vqatpu.train.steps import make_eval_step

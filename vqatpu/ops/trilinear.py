@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from vqatpu.ops.linear import FCNet
-from vqatpu.ops.module import Ctx, config, uniform
+from vqatpu.ops.module import Ctx, config
 
 RANK_NET_GATE = 1024  # reference `if self.h_dim < 1024` (tc.py:27)
 

@@ -16,7 +16,7 @@ virtual CPU devices under ``--xla_force_host_platform_device_count``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

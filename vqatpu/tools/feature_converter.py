@@ -22,7 +22,7 @@ import csv
 import os
 import pickle
 import sys
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ microbatch count exactly like ``_all_reduce_and_rescale(grad_denom)``
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
