@@ -191,3 +191,23 @@ def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out2["logits"]), np.asarray(out["logits"]), atol=1e-6
     )
+
+
+def test_profiler_trace_and_steptimer(tmp_path):
+    import jax.numpy as jnp
+    from vqatpu.train.profiling import StepTimer, trace
+
+    out = str(tmp_path / "trace")
+    with trace(out):
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        jax.block_until_ready(x)
+    import os
+    assert os.path.isdir(out) and any(os.scandir(out))
+    # no-op path
+    with trace(None):
+        pass
+
+    timer = StepTimer(warmup=1)
+    for _ in range(4):
+        timer.step(16, sync_value=x)
+    assert timer.samples_per_sec(sync_value=x) > 0
