@@ -78,7 +78,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
     if mesh is not None:
         state = TrainState(*[replicate(x, mesh) for x in state])
 
-    step_fn = make_train_step(model, cfg, tfidf_loaded)
+    step_fn = make_train_step(model, cfg, tfidf_loaded,
+                              mc_scoring=(task == "mc"))
     loader = _make_loader(train_ds, cfg, use_native_loader)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -129,7 +130,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                           time_since(t0, i / max(len(loader), 1))))
 
         total_loss /= max(num_updates, 1)
-        denom = num_updates * cfg.batch_size * (4 if task == "mc" else 1)
+        # MC batch_score is already per 4-candidate group (MC/train.py:99)
+        denom = num_updates * cfg.batch_size
         train_score = 100.0 * train_score / max(denom, 1)
 
         eval_score, bound = 0.0, 0.0

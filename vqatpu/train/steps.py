@@ -41,6 +41,15 @@ def compute_score_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.n
     return (one_hot * target).sum()
 
 
+def compute_score_mc_jnp(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """MC group accuracy inside jit (``MC/train.py:14-19``): per 4-candidate
+    group, pick the argmax of the class-0 margin, score its label."""
+    groups = logits.shape[0] // 4
+    margin = (logits[:, 0] - logits[:, 1]).reshape(groups, 4)
+    pick = jnp.argmax(margin, axis=1)
+    return target[:, 0].reshape(groups, 4)[jnp.arange(groups), pick].sum()
+
+
 def trainable_mask(params, tfidf_loaded: bool = False):
     """True where a param is trainable.  Only the frozen GloVe copy
     (``emb_``) is non-trainable pre-tfidf (``language_model.py:21-24``)."""
@@ -84,11 +93,14 @@ def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False) -> Train
     )
 
 
-def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False):
+def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
+                    mc_scoring: bool = False):
     """Build the jitted train step.
 
     Distillation applies only to ban/san — the reference's CTI branch ignores
     the KD criterion entirely (``FFOE/trainer.py:168-192``).
+    ``mc_scoring`` switches batch_score to 4-candidate group accuracy
+    (``MC/train.py:14-19``) for the x4-expanded MC batches.
     """
     tx = make_optimizer()
     distill = cfg.distillation and model.cfg.model in ("ban", "san")
@@ -141,7 +153,10 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False):
         new_state, grad_norm = jax.lax.cond(
             count >= cfg.update_freq, do_update, no_update, None
         )
-        score = compute_score_with_logits(logits, batch["target"])
+        if mc_scoring:
+            score = compute_score_mc_jnp(logits, batch["target"])
+        else:
+            score = compute_score_with_logits(logits, batch["target"])
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,
