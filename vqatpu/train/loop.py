@@ -93,8 +93,13 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             logger.write("lr: %.8f" % lr)
 
         t0 = time.time()
-        total_loss, total_norm, train_score = 0.0, 0.0, 0.0
-        count_norm, num_updates, num_rows, num_oom = 0, 0, 0, 0
+        num_oom = 0
+        # Metrics stay on-device until print/epoch boundaries: a per-step
+        # float() would sync the host into every step and stall dispatch.
+        # The update cadence is host-deterministic ((i+1) % update_freq), so
+        # no device read is needed to know which steps applied an update.
+        update_metrics = []
+        print_every = max(1, print_interval // cfg.update_freq)
         for i, batch in enumerate(loader):
             batch.pop("valid", None)
             if task == "mc":
@@ -114,22 +119,30 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 num_oom += 1
                 logger.write(f"| WARNING: out of memory, skipping batch {i}")
                 continue
-            if int(metrics["updated"]):
-                total_loss += float(metrics["loss"])
-                total_norm += float(metrics["grad_norm"])
-                count_norm += 1
-                num_updates += 1
-                train_score += float(metrics["batch_score"])
-            num_rows += db["q"].shape[0]
-            if num_updates and num_updates % max(1, print_interval // cfg.update_freq) == 0 and int(metrics["updated"]):
+            if (i + 1) % cfg.update_freq == 0:
+                update_metrics.append(metrics)
+            num_updates = len(update_metrics)
+            if num_updates and num_updates % print_every == 0 \
+                    and (i + 1) % cfg.update_freq == 0:
+                running = float(sum(jnp.asarray(m["loss"])
+                                    for m in update_metrics))
                 print("Iter: {}, Loss {:.4f}, Norm: {:.4f}, Num updates: {},"
                       " Wall time: {:.2f}, ETA: {}".format(
-                          i + 1, total_loss / (num_updates + 1),
+                          i + 1, running / (num_updates + 1),
                           float(metrics["grad_norm"]), num_updates,
                           time.time() - wall_start,
                           time_since(t0, i / max(len(loader), 1))))
 
-        total_loss /= max(num_updates, 1)
+        num_updates = len(update_metrics)
+        if update_metrics:
+            stacked = {k: np.asarray([m[k] for m in update_metrics])
+                       for k in ("loss", "grad_norm", "batch_score")}
+            total_loss = float(stacked["loss"].sum()) / num_updates
+            total_norm = float(stacked["grad_norm"].sum())
+            train_score = float(stacked["batch_score"].sum())
+        else:
+            total_loss = total_norm = train_score = 0.0
+        count_norm = num_updates
         # MC batch_score is already per 4-candidate group (MC/train.py:99)
         denom = num_updates * cfg.batch_size
         train_score = 100.0 * train_score / max(denom, 1)
