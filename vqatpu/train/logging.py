@@ -39,6 +39,34 @@ class Logger:
         self.log_file.close()
 
 
+def format_params_tree(params, indent: int = 0) -> str:
+    """Human-readable param-tree summary (the reference's ``print_model``
+    analogue, ``utils.py:89-95``): per-branch shapes and counts."""
+    import numpy as np
+
+    lines = []
+
+    def walk(tree, name, depth):
+        if isinstance(tree, dict):
+            total = sum(int(np.prod(x.shape)) for x in _leaves(tree))
+            lines.append("  " * depth + f"{name}: {total:,} params")
+            for k in tree:
+                walk(tree[k], k, depth + 1)
+        else:
+            lines.append("  " * depth + f"{name}: {tuple(tree.shape)}")
+
+    def _leaves(tree):
+        if isinstance(tree, dict):
+            for v in tree.values():
+                yield from _leaves(v)
+        else:
+            yield tree
+
+    for key in params:
+        walk(params[key], key, indent)
+    return "\n".join(lines)
+
+
 class AverageMeter:
     """Average over a sliding window or full history (``meters.py:11-31``)."""
 
