@@ -35,6 +35,11 @@ class ModelConfig:
     task: str = "ffoe"  # ffoe | mc
     # "xla" | "pallas": fused-kernel path for the trilinear hot ops
     kernel_backend: str = "xla"
+    # > 0 enables blockwise (flash-style) trilinear attention+pooling over
+    # V blocks of this size when the box count exceeds it — the stretch
+    # regime for thousands of regions (vqatpu/kernels/blockwise.py).
+    # Attention maps are not materialized (apply returns att=None).
+    v_block_size: int = 0
 
     @property
     def word_dim(self) -> int:

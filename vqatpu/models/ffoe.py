@@ -235,6 +235,11 @@ class CTIModel:
         wa = self.w_emb.apply(p["wa_emb"], a, ctx)
         a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)  # [B, A, H]
 
+        blockwise = (self.cfg.v_block_size > 0
+                     and v.shape[1] > self.cfg.v_block_size)
+        if blockwise:
+            return self._apply_blockwise(p, v, q_state, a_state, v_mask, ctx)
+
         att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask, ctx)
         for g in range(self.cfg.gamma):
             joint = self.t_net.apply_with_weights(
@@ -246,3 +251,30 @@ class CTIModel:
         pooled = q_state.sum(1) + a_state.sum(1)
         out = self.classifier.apply(p["classifier"], pooled, ctx)
         return out, att
+
+    def _apply_blockwise(self, p, v, q_state, a_state, v_mask, ctx):
+        """Flash-style path for large V (stretch regime): identical math,
+        O(v_block_size) memory in V, attention maps not materialized."""
+        from vqatpu.kernels.blockwise import (
+            attention_pool_blockwise,
+            precontract_qa,
+            softmax_stats,
+        )
+
+        block = self.cfg.v_block_size
+        v_r, q_r, a_r, T = self.t_att.tc.rank_projections(
+            p["t_att"]["tc"], v, q_state, a_state, ctx)
+        tqa = precontract_qa(q_r, a_r, T)
+        m, den = softmax_stats(v_r, tqa, v_mask, block)
+
+        for g in range(self.cfg.gamma):
+            vt, qt, at = self.t_net.tucker_projections(
+                p[f"t_net{g}"], v, q_state, a_state, ctx)
+            joint = attention_pool_blockwise(v_r, tqa, v_mask, m, den, g,
+                                             vt, qt, at, block)
+            q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
+            a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
+
+        pooled = q_state.sum(1) + a_state.sum(1)
+        out = self.classifier.apply(p["classifier"], pooled, ctx)
+        return out, None

@@ -116,24 +116,35 @@ class TCNet:
         out = jax.vmap(one)(stacked)  # [rank, B, N, h_sub]
         return jnp.moveaxis(out, 0, 2)  # [B, N, rank, h_sub]
 
-    def apply(self, p, v, q, a, ctx: Optional[Ctx] = None) -> jnp.ndarray:
-        """Attention logits [B, V, Q, A, glimpse] (h_out==1 squeezed away,
-        matching ``f_emb.squeeze(4)`` in ``tc.py:52``)."""
-        assert self.has_rank_nets, "TCNet.apply needs the rank-net regime"
+    def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None):
+        """Tucker + per-rank projections: -> (v_r [B,V,R,x], q_r, a_r,
+        T [R,x,y,z,G]) — the operands of the PARALIND contraction."""
+        assert self.has_rank_nets, "rank projections need the rank-net regime"
         v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
         q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
+        v_r = self._rank_project(p["v_net"], v_t, self.dropout[1], ctx)
+        q_r = self._rank_project(p["q_net"], q_t, self.dropout[0], ctx)
+        a_r = self._rank_project(p["a_net"], a_t, self.dropout[0], ctx)
+        T = p["T_g"][..., 0] if self.ho_dim == 1 else p["T_g"].sum(-1)
+        return v_r, q_r, a_r, T
 
-        v_r = self._rank_project(p["v_net"], v_t, self.dropout[1], ctx)  # [B,V,R,x]
-        q_r = self._rank_project(p["q_net"], q_t, self.dropout[0], ctx)  # [B,Q,R,y]
-        a_r = self._rank_project(p["a_net"], a_t, self.dropout[0], ctx)  # [B,A,R,z]
-
+    def apply(self, p, v, q, a, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        """Attention logits [B, V, Q, A, glimpse] (h_out==1 squeezed away,
+        matching ``f_emb.squeeze(4)`` in ``tc.py:52``)."""
         from vqatpu.kernels.trilinear import attention_logits_xla
 
-        T = p["T_g"][..., 0] if self.ho_dim == 1 else p["T_g"].sum(-1)
+        v_r, q_r, a_r, T = self.rank_projections(p, v, q, a, ctx)
         # Optimized contraction order (smallest intermediates, final step an
         # MXU GEMM over rank*h_sub) lives in vqatpu.kernels.trilinear.
         return attention_logits_xla(v_r, q_r, a_r, T)
+
+    def tucker_projections(self, p, v, q, a, ctx: Optional[Ctx] = None):
+        """Just the tucker projections (the pooling operands)."""
+        v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
+        a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
+        return v_t, q_t, a_t
 
     def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """Fused joint embedding with attention ``w`` [B, V, Q, A] -> [B, d]
