@@ -2,6 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement notes:
+- The barrier is a VALUE READBACK of the final step's loss (which depends on
+  every prior step through the param chain).  On this environment's axon
+  tunnel, ``jax.block_until_ready`` returns on dispatch-ack rather than
+  completion, so ready-based timings measure dispatch rate (~10x too fast);
+  reading a value back is the only honest barrier.
+- Best of 3 windows (shared-tunnel variance).
+
 Baseline derivation (BASELINE.md): the reference publishes no CTI throughput;
 its only timing datapoint is BAN at 157.84 s/epoch on a V100-era GPU
 (``bc.py:49-51``) over the VQA-2.0 train split (443,757 questions)
@@ -49,21 +57,20 @@ def main():
     lr = jnp.float32(1e-3)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile, with a true (value-readback) barrier
     for i in range(3):
         state, metrics = step(state, batch, lr, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
 
-    # best of 3 measurement windows (the shared-tunnel device shows
-    # run-to-run variance; best window is the honest device capability)
-    iters = 20
+    iters = 60
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = step(state, batch, lr,
                                   jax.random.fold_in(key, 100 + w * iters + i))
-        jax.block_until_ready(metrics["loss"])
+        # readback forces the whole dependent chain to finish
+        float(np.asarray(metrics["loss"]))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     samples_per_sec = B * iters / best_dt

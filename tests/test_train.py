@@ -166,7 +166,8 @@ def test_data_parallel_mesh_matches_single_device(rng):
     l1 = jax.tree.leaves(s1.params)
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # sharded reductions reassociate float sums; 2e-5 absorbs that
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):

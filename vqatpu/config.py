@@ -40,6 +40,11 @@ class ModelConfig:
     # regime for thousands of regions (vqatpu/kernels/blockwise.py).
     # Attention maps are not materialized (apply returns att=None).
     v_block_size: int = 0
+    # rematerialize the per-glimpse joint-embedding computation under
+    # jax.checkpoint: trades ~1 extra forward of the t_net tuckers for not
+    # storing their [B, V, D] activations — the dominant temp memory at
+    # large V (measured: 7.9 -> ~4 GB at B=64, V=2048).
+    remat_glimpse: bool = False
 
     @property
     def word_dim(self) -> int:

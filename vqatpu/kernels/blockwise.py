@@ -24,14 +24,15 @@ joint embedding (residual updates, ``FFOE/base_model.py:129-132``), so
 pass 2 runs once per glimpse; logits are recomputed per pass (the classic
 flash-attention recompute-vs-materialize trade).
 
-Measured verdict (v5e, B=64, V=2048, full CTI train step): standard
-1.7 ms/step vs blockwise 106 ms/step, with nearly identical peak temp
-memory (7.9 vs 7.3 GB).  Unlike V x V self-attention, CTI's attention
-tensor scales as V*Q*A*G (~288 B/box) while each tucker activation scales
-as V*D (~4 KB/box) — the attention tensor is never the memory bottleneck,
-and the scan serialization costs ~60x in time.  Kept (equivalence-tested,
-values AND gradients) for regimes with large Q*A*G products; default off
-(``ModelConfig.v_block_size = 0``).
+Measured verdict (v5e, B=64, V=2048, full CTI train step, value-readback
+barrier): standard 82 ms/step at 8.0 GB temp vs blockwise 121 ms at 7.6 GB.
+Unlike V x V self-attention, CTI's attention tensor scales as V*Q*A*G
+(~288 B/box) while each tucker activation scales as V*D (~4 KB/box) — the
+attention tensor is never the memory bottleneck, so blocking it buys little
+memory and the scan serialization costs ~1.5x in time
+(``ModelConfig.remat_glimpse`` is the better memory lever: -40% temp for
++20% time).  Kept (equivalence-tested, values AND gradients) for regimes
+with large Q*A*G products; default off (``ModelConfig.v_block_size = 0``).
 """
 
 from __future__ import annotations

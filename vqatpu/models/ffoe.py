@@ -241,10 +241,18 @@ class CTIModel:
             return self._apply_blockwise(p, v, q_state, a_state, v_mask, ctx)
 
         att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask, ctx)
+
+        def joint_fn(tp, v_, q_, a_, w_):
+            return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, ctx)
+
+        if self.cfg.remat_glimpse:
+            # don't store the [B, V, d] tucker activations for backward —
+            # recompute them (they dominate temp memory at large V).
+            # remat replays the same traced primitives, dropout keys included.
+            joint_fn = jax.checkpoint(joint_fn)
+
         for g in range(self.cfg.gamma):
-            joint = self.t_net.apply_with_weights(
-                p[f"t_net{g}"], v, q_state, a_state, att[..., g], ctx
-            )
+            joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, att[..., g])
             q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
 

@@ -107,14 +107,24 @@ class TCNet:
         return p
 
     def _rank_project(self, stacked, x, drop: float, ctx) -> jnp.ndarray:
-        """Apply all rank nets at once: x [B, N, d] -> [B, N, rank, h_sub]."""
-        net = self._rank_net(drop)
-        # vmap the FCNet over the leading rank axis of the stacked params.
-        def one(params_r):
-            return net.apply(params_r, x, ctx)
+        """Apply all rank nets at once: x [B, N, d] -> [B, N, rank, h_sub].
 
-        out = jax.vmap(one)(stacked)  # [rank, B, N, h_sub]
-        return jnp.moveaxis(out, 0, 2)  # [B, N, rank, h_sub]
+        The per-rank weight-norm linears fuse into ONE [d, rank*h_sub] GEMM:
+        effective weights ``g_r * v_r / ||v_r||_F`` are scaled per rank and
+        concatenated along the output dim (a batched GEMM with N=h_sub per
+        rank badly underutilizes the MXU)."""
+        from vqatpu.ops.module import dropout as _dropout
+
+        p = stacked["l0"]  # {"v": [R, h_sub, d], "g": [R], "b": [R, h_sub]}
+        v = p["v"]
+        norms = jnp.sqrt((v * v).sum(axis=(1, 2)))  # [R] Frobenius per rank
+        w = v * (p["g"] / norms)[:, None, None]     # [R, h_sub, d]
+        w_all = w.reshape(self.rank * self.h_sub, v.shape[-1])
+        b_all = p["b"].reshape(self.rank * self.h_sub)
+        x = _dropout(x, drop, ctx)
+        from vqatpu.ops.activation import get_activation
+        out = get_activation(self.act)(x @ w_all.T + b_all)
+        return out.reshape(x.shape[0], x.shape[1], self.rank, self.h_sub)
 
     def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None):
         """Tucker + per-rank projections: -> (v_r [B,V,R,x], q_r, a_r,

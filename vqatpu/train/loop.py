@@ -100,6 +100,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         # no device read is needed to know which steps applied an update.
         update_metrics = []
         print_every = max(1, print_interval // cfg.update_freq)
+        n_batches = len(loader)
+        micro_count = 0  # mirrors the device-side accumulation counter
         for i, batch in enumerate(loader):
             batch.pop("valid", None)
             if task == "mc":
@@ -108,8 +110,12 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             if mesh is not None:
                 db = shard_batch(db, mesh)
             rng, step_rng = jax.random.split(rng)
+            # the reference flushes accumulation on each epoch's LAST batch
+            # (FFOE/train.py:78-82) so microbatches never straddle epochs
+            force = (i == n_batches - 1)
             try:
-                state, metrics = step_fn(state, db, jnp.float32(lr), step_rng)
+                state, metrics = step_fn(state, db, jnp.float32(lr), step_rng,
+                                         force)
             except jax.errors.JaxRuntimeError as e:
                 # best-effort batch-skip recovery, the reference's OOM policy
                 # (FFOE/trainer.py:206-219); the functional state is
@@ -119,11 +125,13 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 num_oom += 1
                 logger.write(f"| WARNING: out of memory, skipping batch {i}")
                 continue
-            if (i + 1) % cfg.update_freq == 0:
+            micro_count += 1
+            did_update = force or micro_count >= cfg.update_freq
+            if did_update:
                 update_metrics.append(metrics)
+                micro_count = 0
             num_updates = len(update_metrics)
-            if num_updates and num_updates % print_every == 0 \
-                    and (i + 1) % cfg.update_freq == 0:
+            if did_update and num_updates and num_updates % print_every == 0:
                 running = float(sum(jnp.asarray(m["loss"])
                                     for m in update_metrics))
                 print("Iter: {}, Loss {:.4f}, Norm: {:.4f}, Num updates: {},"

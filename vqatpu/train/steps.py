@@ -123,36 +123,59 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
             loss = bce_with_logits_sum(logits, target) / logits.shape[0]
         return loss, logits
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, lr, rng):
+    # with no frozen params the identity mask is pure overhead
+    any_frozen = "c" in model.cfg.op and not tfidf_loaded
+
+    def _apply_update(state, grads, lr, count):
+        denom = count.astype(jnp.float32)
+        g = jax.tree.map(lambda x: x / denom, grads)
+        g, norm = clip_flat_grads(g, cfg.clip_norm)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr  # type: ignore[attr-defined]
+        updates, new_opt = tx.update(g, opt_state, state.params)
+        if any_frozen:
+            updates = mask_grads(updates, trainable_mask(state.params, tfidf_loaded))
+        params = optax.apply_updates(state.params, updates)
+        return params, new_opt, norm
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def train_step(state: TrainState, batch, lr, rng, force_update: bool = False):
+        """``force_update`` flushes the accumulation buffer regardless of
+        count — the reference updates on each epoch's LAST batch
+        (``FFOE/train.py:78-82``) so microbatches never carry across epochs."""
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        mask = trainable_mask(state.params, tfidf_loaded)
-        grads = mask_grads(grads, mask)
-        accum = jax.tree.map(jnp.add, state.grad_accum, grads)
-        count = state.accum_count + 1
+        if any_frozen:
+            grads = mask_grads(grads, trainable_mask(state.params, tfidf_loaded))
 
-        def do_update(_):
-            denom = count.astype(jnp.float32)
-            g = jax.tree.map(lambda x: x / denom, accum)
-            g, norm = clip_flat_grads(g, cfg.clip_norm)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = lr  # type: ignore[attr-defined]
-            updates, new_opt = tx.update(g, opt_state, state.params)
-            updates = mask_grads(updates, mask)
-            params = optax.apply_updates(state.params, updates)
-            zeros = jax.tree.map(jnp.zeros_like, accum)
-            return TrainState(params, new_opt, zeros,
-                              jnp.zeros([], jnp.int32), state.step + 1), norm
+        if cfg.update_freq == 1:
+            # fast path: no accumulation buffer traffic (two full param-tree
+            # passes saved per step)
+            params, new_opt, grad_norm = _apply_update(
+                state, grads, lr, jnp.int32(1))
+            new_state = TrainState(params, new_opt, state.grad_accum,
+                                   state.accum_count, state.step + 1)
+            count = jnp.int32(1)
+        else:
+            accum = jax.tree.map(jnp.add, state.grad_accum, grads)
+            count = state.accum_count + 1
 
-        def no_update(_):
-            return TrainState(state.params, state.opt_state, accum, count,
-                              state.step), jnp.float32(0.0)
+            def do_update(_):
+                params, new_opt, norm = _apply_update(
+                    state._replace(grad_accum=accum), accum, lr, count)
+                zeros = jax.tree.map(jnp.zeros_like, accum)
+                return TrainState(params, new_opt, zeros,
+                                  jnp.zeros([], jnp.int32), state.step + 1), norm
 
-        new_state, grad_norm = jax.lax.cond(
-            count >= cfg.update_freq, do_update, no_update, None
-        )
+            def no_update(_):
+                return TrainState(state.params, state.opt_state, accum, count,
+                                  state.step), jnp.float32(0.0)
+
+            new_state, grad_norm = jax.lax.cond(
+                force_update or (count >= cfg.update_freq),
+                do_update, no_update, None
+            )
         if mc_scoring:
             score = compute_score_mc_jnp(logits, batch["target"])
         else:
@@ -161,7 +184,8 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
             "loss": loss,
             "grad_norm": grad_norm,
             "batch_score": score,
-            "updated": (count >= cfg.update_freq).astype(jnp.int32),
+            "updated": ((count >= cfg.update_freq) | force_update
+                        ).astype(jnp.int32),
         }
         return new_state, metrics
 
