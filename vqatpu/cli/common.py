@@ -56,6 +56,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="run single-device (no data mesh)")
     parser.add_argument("--native_loader", action="store_true",
                         help="use the C++ prefetch data loader (libvqadata)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="emit a jax.profiler trace of early train steps")
 
 
 def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:

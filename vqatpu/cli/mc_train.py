@@ -67,7 +67,8 @@ def main(argv=None):
           state=state, start_epoch=start_epoch,
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
           print_interval=args.print_interval,
-          use_native_loader=args.native_loader)
+          use_native_loader=args.native_loader,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -59,7 +59,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           task: str = "ffoe", state: Optional[TrainState] = None,
           start_epoch: int = 0, tfidf_loaded: bool = False,
           use_mesh: bool = True, print_interval: int = 200,
-          use_native_loader: bool = False) -> TrainState:
+          use_native_loader: bool = False,
+          profile_dir: Optional[str] = None) -> TrainState:
     """Run the full training schedule; returns the final state."""
     os.makedirs(output, exist_ok=True)
     logger = Logger(os.path.join(output, "log.txt"))
@@ -125,6 +126,15 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 num_oom += 1
                 logger.write(f"| WARNING: out of memory, skipping batch {i}")
                 continue
+            # profile a few steady-state steps of the first epoch
+            # (jax.profiler, TensorBoard-loadable — the observability upgrade
+            # over the reference's wall-clock prints, SURVEY.md §5)
+            if profile_dir and epoch == start_epoch:
+                if i == 1:
+                    jax.profiler.start_trace(profile_dir)
+                elif i == min(6, n_batches - 1):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
             micro_count += 1
             did_update = force or micro_count >= cfg.update_freq
             if did_update:
@@ -157,7 +167,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
         eval_score, bound = 0.0, 0.0
         if eval_ds is not None:
-            eval_loader = BatchLoader(eval_ds, cfg.batch_size)
+            # reference evaluates with a 2x batch (FFOE/main.py:146)
+            eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
             if task == "mc":
                 eval_score, bound = evaluate_mc(model, state.params, eval_loader)
             else:
