@@ -68,7 +68,8 @@ def main(argv=None):
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
           print_interval=args.print_interval,
           use_native_loader=args.native_loader,
-          profile_dir=args.profile_dir)
+          profile_dir=args.profile_dir,
+          num_devices=args.num_devices)
 
 
 if __name__ == "__main__":

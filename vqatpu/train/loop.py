@@ -60,7 +60,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           start_epoch: int = 0, tfidf_loaded: bool = False,
           use_mesh: bool = True, print_interval: int = 200,
           use_native_loader: bool = False,
-          profile_dir: Optional[str] = None) -> TrainState:
+          profile_dir: Optional[str] = None,
+          num_devices: Optional[int] = None) -> TrainState:
     """Run the full training schedule; returns the final state."""
     os.makedirs(output, exist_ok=True)
     logger = Logger(os.path.join(output, "log.txt"))
@@ -75,7 +76,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         % (cfg.lr, cfg.lr_decay_step, cfg.lr_decay_rate, cfg.clip_norm)
     )
 
-    mesh = make_mesh() if use_mesh else None
+    mesh = make_mesh(num_devices) if use_mesh else None
     if mesh is not None:
         state = TrainState(*[replicate(x, mesh) for x in state])
 
