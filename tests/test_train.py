@@ -212,3 +212,30 @@ def test_profiler_trace_and_steptimer(tmp_path):
     for _ in range(4):
         timer.step(16, sync_value=x)
     assert timer.samples_per_sec(sync_value=x) > 0
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    from vqatpu.train.checkpoints import (
+        restore_train_state_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cfg = tiny_cfg(model="ban")
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    # advance one step so opt_state is non-trivial
+    step = make_train_step(m, TrainConfig(update_freq=1))
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+    state, _ = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, state, epoch=3)
+    fresh = make_train_state(m, jax.random.PRNGKey(42))
+    restored, start_epoch = restore_train_state_orbax(path, fresh)
+    assert start_epoch == 4
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -67,6 +67,44 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
     return new_state, payload["epoch"] + 1
 
 
+def save_checkpoint_orbax(path: str, state: TrainState, epoch: int) -> None:
+    """Orbax-backed checkpoint (multi-host/sharded-restore capable): params
+    and opt_state as a PyTree plus a scalar metadata leaf.  Path must not
+    already exist (orbax semantics)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), {
+        "epoch": np.asarray(epoch),
+        "step": np.asarray(int(state.step)),
+        "params": _to_numpy(state.params),
+        "opt_state": _to_numpy(state.opt_state),
+    })
+
+
+def restore_train_state_orbax(path: str, state: TrainState
+                              ) -> tuple[TrainState, int]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    params = jax.tree.map(lambda n, o: jax.numpy.asarray(n),
+                          payload["params"], state.params)
+    # orbax restores namedtuple-typed nodes as dicts; rebuild by structure
+    flat_new = jax.tree.leaves(payload["opt_state"])
+    treedef = jax.tree.structure(state.opt_state)
+    opt_state = jax.tree.unflatten(
+        treedef, [jax.numpy.asarray(x) for x in flat_new])
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        grad_accum=jax.tree.map(jax.numpy.zeros_like, state.grad_accum),
+        accum_count=jax.numpy.zeros([], jax.numpy.int32),
+        step=jax.numpy.asarray(int(payload["step"]), jax.numpy.int32),
+    )
+    return new_state, int(payload["epoch"]) + 1
+
+
 def save_params(path: str, params: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
