@@ -176,3 +176,46 @@ def test_mode_product_and_fcstl(rng):
     y = stl.apply(p, jnp.ones((2, 6)))
     assert y.shape == (2, 4)
     assert float(jnp.abs(y).max()) <= 1.0  # tanh-bounded
+
+
+def test_tfidf_from_questions_math(tmp_path):
+    """Row-stochastic co-occurrence mix: rows sum to 1, df weighting favors
+    rarer co-occurring words, extended vocab rows mix base GloVe rows."""
+    import json
+    import os
+    from vqatpu.data.tfidf import tfidf_from_questions
+
+    root = str(tmp_path)
+    d = Dictionary()
+    d.tokenize("what color is", add_word=True)  # base vocab: 3 words
+    n_base = d.ntoken
+    qs = {"questions": [
+        {"question": "what color is the cat?"},
+        {"question": "what color is the dog?"},
+        {"question": "what is blue?"},
+    ]}
+    with open(os.path.join(root, "v2_OpenEnded_mscoco_train2014_questions.json"), "w") as f:
+        json.dump(qs, f)
+    tfidf, weights = tfidf_from_questions(
+        ["train"], d, dataroot=root, target=("vqa",))
+    # dictionary extended with the/cat/dog/blue
+    assert d.ntoken > n_base
+    # rows are stochastic
+    for r, cols in tfidf.rows.items():
+        assert abs(sum(cols.values()) - 1.0) < 1e-6
+    # only base-vocab rows exist (inds gated on c < N at build time)
+    assert all(r < n_base for r in tfidf.rows)
+    # matmul against a dense basis mixes rows convexly
+    basis = np.eye(d.ntoken, 4, dtype=np.float32)
+    mixed = tfidf.matmul_dense(basis)
+    assert mixed.shape[0] == max(tfidf.rows) + 1
+    # 'what' co-occurs with everything; its row must be a strict mix
+    what_row = tfidf.rows[d.word2idx["what"]]
+    assert len(what_row) >= 4
+    # rarer words (df=1, e.g. 'blue') get more weight than common ones
+    blue = what_row[d.word2idx["blue"]]
+    color = what_row[d.word2idx["color"]]
+    assert blue > 0 and color > 0
+    # 'color' has df=2 (two questions) vs 'blue' df=1, and 'color'
+    # co-occurs with 'what' twice: contributions 2*(1/2) vs 1*(1/1) tie
+    np.testing.assert_allclose(blue, color, rtol=1e-6)
