@@ -23,3 +23,17 @@ Layer map (mirrors SURVEY.md §1, re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+from vqatpu.config import ModelConfig, TrainConfig  # noqa: E402
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules at
+    package import)."""
+    if name == "build_model":
+        from vqatpu.models import build_model
+        return build_model
+    if name == "InferenceSession":
+        from vqatpu.serve import InferenceSession
+        return InferenceSession
+    raise AttributeError(name)
