@@ -1,0 +1,139 @@
+"""HTTP serving front end over :class:`vqatpu.serve.InferenceSession`.
+
+Stdlib-only (http.server) production shim: loads a checkpoint once, answers
+batched POST requests with EvalAI-style answers.
+
+Endpoints:
+- ``GET  /healthz``  -> {"status": "ok", "model": ...}
+- ``POST /answer``   body: {"features": [[[f]]], "spatials": [[[s]]]?,
+                            "question_tokens": [[q]], "answer_tokens": [[a]]?}
+                     -> {"answers": [...], "latency_ms": ...}
+- ``POST /logits``   same body -> raw logits
+
+Run: ``python -m vqatpu.cli.serve --input saved_models/cti --epoch 12
+     --dataroot data_vqa --model cti --port 8399``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_session(args):
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.data import Dictionary, VQAFeatureDataset
+    from vqatpu.serve import InferenceSession
+
+    dictionary = Dictionary.load_from_file(
+        os.path.join(args.dataroot, "dictionary.pkl"))
+    with open(os.path.join(args.dataroot, "cache", "trainval_label2ans.pkl"),
+              "rb") as f:
+        label2ans = pickle.load(f)
+
+    class _DS:  # minimal surface for model_config_from_args
+        pass
+
+    ds = _DS()
+    ds.dictionary = dictionary
+    ds.v_dim = args.v_dim
+    ds.num_ans_candidates = len(label2ans)
+    cfg = model_config_from_args(args, ds)
+    ckpt = os.path.join(args.input, f"model_epoch{args.epoch}.ckpt")
+    return InferenceSession.from_checkpoint(
+        ckpt, cfg, label2ans, max_boxes=args.max_boxes), dictionary
+
+
+def make_handler(session, dictionary, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "model": model_name})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path not in ("/answer", "/logits"):
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                v = np.asarray(req["features"], np.float32)
+                b = req.get("spatials")
+                b = None if b is None else np.asarray(b, np.float32)
+                if "question_tokens" in req:
+                    q = np.asarray(req["question_tokens"], np.int32)
+                else:
+                    q = np.asarray(
+                        [dictionary.tokenize_padded(s, 12)
+                         for s in req["questions"]], np.int32)
+                a = req.get("answer_tokens")
+                a = None if a is None else np.asarray(a, np.int32)
+                t0 = time.perf_counter()
+                if self.path == "/answer":
+                    out = {"answers": session.answer(v, b, q, a)}
+                else:
+                    out = {"logits": session.logits(v, b, q, a).tolist()}
+                out["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+                self._json(200, out)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(session, dictionary, model_name: str, port: int,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(
+        (host, port), make_handler(session, dictionary, model_name))
+
+
+def serve_in_thread(session, dictionary, model_name: str, port: int,
+                    host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    server = make_server(session, dictionary, model_name, port, host)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def main(argv=None):
+    from vqatpu.cli.common import add_common_args
+
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--epoch", type=str, default="12")
+    parser.add_argument("--port", type=int, default=8399)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--v_dim", type=int, default=2048)
+    args = parser.parse_args(argv)
+
+    session, dictionary = build_session(args)
+    server = make_server(session, dictionary, args.model, args.port, args.host)
+    print(f"serving {args.model} on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
