@@ -242,17 +242,22 @@ class CTIModel:
 
         att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask, ctx)
 
-        def joint_fn(tp, v_, q_, a_, w_):
-            return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, ctx)
+        def joint_fn(tp, v_, q_, a_, w_, sub_rng):
+            # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace
+            # replays the identical key stream (a closed-over Ctx counter
+            # would advance during the extra trace and shift the masks)
+            sub_ctx = None if sub_rng is None else Ctx(train=True, rng=sub_rng)
+            return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, sub_ctx)
 
         if self.cfg.remat_glimpse:
             # don't store the [B, V, d] tucker activations for backward —
-            # recompute them (they dominate temp memory at large V).
-            # remat replays the same traced primitives, dropout keys included.
+            # recompute them (they dominate temp memory at large V)
             joint_fn = jax.checkpoint(joint_fn)
 
         for g in range(self.cfg.gamma):
-            joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, att[..., g])
+            sub_rng = ctx.dropout_key() if (ctx is not None and ctx.train) else None
+            joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, att[..., g],
+                             sub_rng)
             q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
 
