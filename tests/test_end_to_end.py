@@ -132,3 +132,28 @@ def test_tdiuc_metrics(tmp_path):
     assert np.isclose(m["overall"], 75.0)
     # per-answer normalization: color {red: 1/1, blue: 0/1} -> 50
     assert np.isclose(m["types_norm"]["color"], 50.0)
+
+
+def test_embedding_distance_scorers(rng):
+    from vqatpu.eval import compute_score_mc  # noqa: F401 (surface check)
+    from vqatpu.eval.ffoe import compute_score_with_embedding
+    from vqatpu.eval.mc import compute_score_with_emb
+
+    # FFOE: nearest answer embedding picks the right label
+    ans_emb = np.eye(4, dtype=np.float32)  # 4 answers, orthogonal
+    pred = np.asarray([[0.9, 0.1, 0, 0], [0, 0, 0.1, 0.95]], np.float32)
+    labels = np.zeros((2, 4), np.float32)
+    labels[0, 0] = 0.6  # answer 0 has soft score .6
+    labels[1, 3] = 1.0
+    scores = compute_score_with_embedding(pred, labels, ans_emb)
+    np.testing.assert_allclose(scores, [0.6, 1.0])
+
+    # MC: nearest candidate embedding == ground truth embedding.
+    # candidates get distinct coordinate SUMS (the reference's equality test
+    # is sum-based, MC/trainer.py:310-312)
+    mc = np.tile((np.eye(4, dtype=np.float32) * np.arange(1, 5))[None, :3],
+                 (2, 1, 1))  # [2, 3, 4]
+    gt = mc[:, 1]  # truth is candidate 1
+    pred_emb = np.asarray([[0, 1.9, 0.1, 0], [0.9, 0.1, 0, 0]], np.float32)
+    out = compute_score_with_emb(pred_emb, mc, gt)
+    np.testing.assert_array_equal(out, [True, False])

@@ -157,3 +157,62 @@ def test_create_answer_embedding(tmp_path):
         emb = pickle.load(f)
     assert emb.shape[1] == 16
     assert np.all(np.isfinite(emb))
+
+
+def test_fixed_layout_feature_store(tmp_path, rng):
+    """Fixed-36-style layout: [N, K, dim] arrays, no pos_boxes."""
+    from vqatpu.data.features import FeatureStore
+
+    feats = rng.randn(3, 5, 8).astype(np.float32)
+    spats = rng.rand(3, 5, 6).astype(np.float32)
+    store = FeatureStore(feats, spats, pos_boxes=None)
+    assert not store.adaptive and store.v_dim == 8 and store.s_dim == 6
+    v, b, mask = store.get(1, max_boxes=7)
+    assert v.shape == (7, 8)
+    np.testing.assert_array_equal(v[:5], feats[1])
+    np.testing.assert_array_equal(v[5:], 0)
+    assert mask.sum() == 5
+    # truncation when max_boxes < K
+    v2, _, m2 = store.get(2, max_boxes=3)
+    np.testing.assert_array_equal(v2, feats[2][:3])
+    assert m2.all()
+
+
+def test_create_answer_glove(tmp_path):
+    from vqatpu.tools.create_embedding import create_answer_glove
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "cache"))
+    os.makedirs(os.path.join(root, "glove"))
+    with open(os.path.join(root, "cache", "trainval_label2ans.pkl"), "wb") as f:
+        pickle.dump(["red", "blue bird", "unknownword"], f)
+    for dim in (2, 3):
+        with open(os.path.join(root, "glove", f"glove.6B.{dim}d.txt"), "w") as f:
+            f.write("red " + " ".join(["1.0"] * dim) + "\n")
+            f.write("blue " + " ".join(["2.0"] * dim) + "\n")
+            f.write("bird " + " ".join(["3.0"] * dim) + "\n")
+    out = create_answer_glove(root, emb_dims=(2, 3))
+    emb = np.load(out)
+    assert emb.shape == (3, 5)
+    np.testing.assert_allclose(emb[0], [1, 1, 1, 1, 1])  # direct hit
+    np.testing.assert_allclose(emb[1], [5, 5, 5, 5, 5])  # multi-word sum
+    np.testing.assert_allclose(emb[2], 0)  # OOV stays zero
+
+
+def test_compute_softscore_cli(tmp_path):
+    from vqatpu.tools import compute_softscore
+
+    root = str(tmp_path)
+    for split in ("train", "val"):
+        ann = [{"question_id": i, "image_id": i,
+                "multiple_choice_answer": "red",
+                "answers": [{"answer": "red"}] * 10} for i in range(6)]
+        with open(os.path.join(root, f"v2_mscoco_{split}2014_annotations.json"),
+                  "w") as f:
+            json.dump({"annotations": ann}, f)
+    compute_softscore.main(["--dataroot", root, "--min_occurence", "2"])
+    with open(os.path.join(root, "cache", "trainval_ans2label.pkl"), "rb") as f:
+        assert pickle.load(f) == {"red": 0}
+    with open(os.path.join(root, "cache", "train_target.pkl"), "rb") as f:
+        targets = pickle.load(f)
+    assert targets[0]["labels"] == [0] and targets[0]["scores"] == [1.0]

@@ -33,7 +33,11 @@ def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
     """Embedding-space MC scoring (``MC/trainer.py:302-312``): pick the
     candidate whose embedding is nearest to the prediction; correct when it
     coincides with the ground-truth embedding.  ``pred_emb [B, D]``,
-    ``mc_emb [B, 4, D]``, ``gt_emb [B, D]`` -> bool [B]."""
+    ``mc_emb [B, 4, D]``, ``gt_emb [B, D]`` -> bool [B].
+
+    Faithful to the reference's ``(chosen - gt).sum() == 0`` equality test —
+    note it treats distinct vectors with equal coordinate sums as a match
+    (harmless for real learned embeddings, surprising for synthetic ones)."""
     d = np.linalg.norm(pred_emb[:, None, :] - mc_emb, axis=2)  # [B, 4]
     pick = d.argmin(axis=1)
     chosen = mc_emb[np.arange(mc_emb.shape[0]), pick]
