@@ -239,3 +239,41 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_remat_glimpse_is_bit_identical(rng):
+    """remat_glimpse must not change outputs — the dropout rng enters the
+    checkpointed fn as an argument so the replayed trace sees the same keys."""
+    import dataclasses
+    from vqatpu.ops.module import Ctx
+
+    cfg = tiny_cfg(model="cti")
+    m1 = build_model(cfg)
+    m2 = build_model(dataclasses.replace(cfg, remat_glimpse=True))
+    p = m1.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    o1, _ = m1.apply(p, batch, Ctx(train=True, rng=jax.random.PRNGKey(7)))
+    o2, _ = m2.apply(p, batch, Ctx(train=True, rng=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_accumulation_flushes_at_epoch_end(rng, tmp_path):
+    """With batches-per-epoch not divisible by update_freq, the trailing
+    microbatch must flush at epoch end (FFOE/train.py:78-82) so the device
+    counter never carries across epochs."""
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.data import VQAFeatureDataset
+    from vqatpu.train.loop import train
+    from tests.test_end_to_end import small_cfg
+
+    root = str(tmp_path / "d")
+    d = make_vqa_fixture(root, n_train=24, n_val=8, n_images=6, v_dim=16)
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    # 24 samples / batch 8 = 3 batches; update_freq 2 -> updates at batch 2
+    # (count) and batch 3 (forced flush): 2 updates/epoch, step even across
+    # epochs
+    m = build_model(small_cfg(ds, "ban"))
+    cfg = TrainConfig(epochs=2, batch_size=8, update_freq=2, saving_epoch=99)
+    state = train(m, ds, None, cfg, str(tmp_path / "o"), use_mesh=False)
+    assert int(state.step) == 4  # 2 updates x 2 epochs
+    assert int(state.accum_count) == 0  # nothing carried over
