@@ -113,8 +113,10 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 db = shard_batch(db, mesh)
             rng, step_rng = jax.random.split(rng)
             # the reference flushes accumulation on each epoch's LAST batch
-            # (FFOE/train.py:78-82) so microbatches never straddle epochs
-            force = (i == n_batches - 1)
+            # (FFOE/train.py:78-82) so microbatches never straddle epochs.
+            # With update_freq == 1 every step updates anyway — keep force
+            # False so jit compiles ONE program, not a second for the flag.
+            force = cfg.update_freq > 1 and (i == n_batches - 1)
             try:
                 state, metrics = step_fn(state, db, jnp.float32(lr), step_rng,
                                          force)
