@@ -79,3 +79,48 @@ def test_malformed_request_is_400_and_server_survives(server, rng):
     assert exc.value.code == 400
     # server still healthy afterwards
     test_healthz(server)
+
+
+def test_build_session_from_checkpoint_cli_path(tmp_path, rng):
+    """The serve CLI's build_session: dataroot artifacts + checkpoint ->
+    working InferenceSession (the main() path minus the socket loop)."""
+    import argparse
+    import os
+
+    import jax
+
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.cli.serve import build_session
+    from vqatpu.data import VQAFeatureDataset
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.models import build_model
+    from vqatpu.train.checkpoints import save_checkpoint
+    from vqatpu.train.steps import make_train_state
+
+    root = str(tmp_path)
+    d = make_vqa_fixture(os.path.join(root, "data_vqa"), n_train=8, n_val=4,
+                         n_images=4, v_dim=16)
+    ds = VQAFeatureDataset("val", d, dataroot=os.path.join(root, "data_vqa"),
+                           max_boxes=12)
+    ns = argparse.Namespace(
+        model="cti", num_hid=32, op="c", gamma=2, activation="relu",
+        dropout=0.5, use_counter=False, num_stacks=2, h_mm=16, h_out=1,
+        rank=4, k=1, kernel_backend="xla", v_block_size=0, remat=False)
+    cfg = model_config_from_args(ns, ds)
+    m = build_model(cfg)
+    st = make_train_state(m, jax.random.PRNGKey(0))
+    save_checkpoint(os.path.join(root, "sm", "model_epoch0.ckpt"), st, 0)
+
+    args = argparse.Namespace(
+        dataroot=os.path.join(root, "data_vqa"), input=os.path.join(root, "sm"),
+        epoch="0", v_dim=16, max_boxes=12, model="cti", num_hid=32, op="c",
+        gamma=2, activation="relu", dropout=0.5, use_counter=False,
+        num_stacks=2, h_mm=16, h_out=1, rank=4, k=1, kernel_backend="xla",
+        v_block_size=0, remat=False)
+    sess, dictionary = build_session(args)
+    v = rng.randn(2, 8, 16).astype(np.float32)
+    q = np.asarray([dictionary.tokenize_padded("what color is the cat?", 12)] * 2,
+                   np.int32)
+    a = rng.randint(0, 20, (2, 3)).astype(np.int32)
+    answers = sess.answer(v, None, q, a)
+    assert len(answers) == 2 and all(isinstance(x, str) for x in answers)

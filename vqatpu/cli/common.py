@@ -58,6 +58,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="use the C++ prefetch data loader (libvqadata)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
+    parser.add_argument("--kernel_backend", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="trilinear hot-op kernel path")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="rematerialize per-glimpse joint embeddings "
+                             "(-40%% temp memory at large V, +20%% time)")
+    parser.add_argument("--v_block_size", type=int, default=0,
+                        help="blockwise attention+pool over V blocks (0=off)")
 
 
 def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:
@@ -78,6 +88,9 @@ def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:
         rank=args.rank,
         k=args.k,
         task=task,
+        kernel_backend=args.kernel_backend,
+        v_block_size=args.v_block_size,
+        remat_glimpse=args.remat,
     )
 
 
@@ -93,4 +106,5 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         distillation=args.distillation,
         T=args.T,
         alpha=args.alpha,
+        compute_dtype=args.compute_dtype,
     )
