@@ -105,3 +105,38 @@ def test_gradients_flow_everywhere(rng):
 def test_registry_rejects_unknown():
     with pytest.raises(ValueError):
         build_model(tiny_cfg(model="nope"))
+
+
+def test_padding_value_invariance(rng):
+    """With an explicit v_mask, the VALUES in padded box rows must not
+    affect outputs (the static-masking contract; the reference instead
+    relies on padded rows being exactly zero, attention.py:36)."""
+    for model_name in ("ban", "cti"):
+        cfg = tiny_cfg(model=model_name)
+        m = build_model(cfg)
+        p = m.init(jax.random.PRNGKey(0))
+        batch = tiny_batch(rng)  # rows V-2: zeroed, mask False
+        want, _ = m.apply(p, batch)
+
+        poisoned = dict(batch)
+        v = np.asarray(batch["v"]).copy()
+        v[:, V - 2:] = 1e3 * rng.randn(B, 2, V_DIM)  # garbage in padded rows
+        poisoned["v"] = jnp.asarray(v)
+        got, _ = m.apply(p, poisoned)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, err_msg=model_name)
+
+
+def test_fully_masked_sample_is_finite(rng):
+    """A sample with ZERO real boxes must produce finite logits (the
+    reference would NaN: softmax over an all -inf row)."""
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    mask = np.asarray(batch["v_mask"]).copy()
+    mask[0, :] = False  # first sample: no boxes at all
+    batch["v_mask"] = jnp.asarray(mask)
+    out, att = m.apply(p, batch)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(att)[0], 0.0)
