@@ -219,3 +219,40 @@ def test_tfidf_from_questions_math(tmp_path):
     # 'color' has df=2 (two questions) vs 'blue' df=1, and 'color'
     # co-occurs with 'what' twice: contributions 2*(1/2) vs 1*(1/1) tie
     np.testing.assert_allclose(blue, color, rtol=1e-6)
+
+
+def test_tfidf_cache_reads_torch_module_format(tmp_path):
+    """Drop-in dataroot compat: the reference caches embed_tfidf_weights.pkl
+    as a torch.save of the whole WordEmbedding module (utils.py:398-401)."""
+    import torch
+    import torch.nn as nn
+    from vqatpu.data.tfidf import _read_embedding_cache
+
+    class WE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(7, 4)
+            self.emb_ = nn.Embedding(7, 4)
+
+    we = WE()
+    path = str(tmp_path / "embed_tfidf_weights.pkl")
+    with open(path, "wb") as f:
+        torch.save(we, f)
+    out = _read_embedding_cache(path)
+    assert out is not None
+    np.testing.assert_allclose(out["emb"], we.emb.weight.detach().numpy())
+    np.testing.assert_allclose(out["emb_"], we.emb_.weight.detach().numpy())
+
+    # our own plain-pickle format still reads
+    import pickle
+    ours = str(tmp_path / "ours.pkl")
+    with open(ours, "wb") as f:
+        pickle.dump({"emb": np.ones((3, 2)), "emb_": np.zeros((3, 2))}, f)
+    out2 = _read_embedding_cache(ours)
+    np.testing.assert_array_equal(out2["emb"], np.ones((3, 2)))
+
+    # garbage -> None (caller recomputes)
+    bad = str(tmp_path / "bad.pkl")
+    with open(bad, "wb") as f:
+        f.write(b"not a pickle")
+    assert _read_embedding_cache(bad) is None

@@ -155,6 +155,35 @@ def create_glove_embedding_init(idx2word: Sequence[str], glove_file: str
     return weights, word2emb
 
 
+def _read_embedding_cache(path: str):
+    """Read ``embed_tfidf_weights.pkl`` in either format: our plain pickle
+    {"emb", "emb_"}, or the reference's torch.save of the whole WordEmbedding
+    module (``utils.py:398-401``) — drop-in dataroot compatibility.  Returns
+    None when unreadable (caller recomputes)."""
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            cached = pickle.load(f)
+        if isinstance(cached, dict) and "emb" in cached:
+            return cached
+    except Exception:
+        pass
+    try:  # torch.save zipfile format holding the reference nn.Module
+        import torch
+
+        module = torch.load(path, map_location="cpu", weights_only=False)
+        sd = module.state_dict() if hasattr(module, "state_dict") else module
+        out = {"emb": sd["emb.weight"].detach().numpy()}
+        if "emb_.weight" in sd:
+            out["emb_"] = sd["emb_.weight"].detach().numpy()
+        else:
+            out["emb_"] = out["emb"]
+        return out
+    except Exception:
+        return None
+
+
 def tfidf_loading(model_we, params, dataroot: str, dictionary: Dictionary,
                   names: Sequence[str] = ("train", "val", "test2015"),
                   target: Sequence[str] = ("vqa",), cache: bool = True):
@@ -165,11 +194,11 @@ def tfidf_loading(model_we, params, dataroot: str, dictionary: Dictionary,
 
     cache_path = os.path.join(dataroot, "embed_tfidf_weights.pkl")
     if cache and os.path.isfile(cache_path):
-        with open(cache_path, "rb") as f:
-            cached = pickle.load(f)
-        return {**params, "emb": np.asarray(cached["emb"]),
-                "emb_": np.asarray(cached["emb_"])} if "emb_" in params else \
-               {**params, "emb": np.asarray(cached["emb"])}
+        cached = _read_embedding_cache(cache_path)
+        if cached is not None:
+            return {**params, "emb": np.asarray(cached["emb"]),
+                    "emb_": np.asarray(cached["emb_"])} if "emb_" in params else \
+                   {**params, "emb": np.asarray(cached["emb"])}
 
     glove_npy = os.path.join(dataroot, "glove6b_init_300d.npy")
     weight_init = np.load(glove_npy)
