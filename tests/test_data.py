@@ -221,23 +221,46 @@ def test_tfidf_from_questions_math(tmp_path):
     np.testing.assert_allclose(blue, color, rtol=1e-6)
 
 
+class _CacheWE:
+    """Module-level so torch.save can pickle it; deleted before load to
+    simulate the reference's unimportable module classes."""
+
+    _cls = None
+
+    @staticmethod
+    def build():
+        import torch.nn as nn
+
+        class CacheWE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.emb = nn.Embedding(7, 4)
+                self.emb_ = nn.Embedding(7, 4)
+
+        _CacheWE._cls = CacheWE
+        return CacheWE()
+
+
 def test_tfidf_cache_reads_torch_module_format(tmp_path):
     """Drop-in dataroot compat: the reference caches embed_tfidf_weights.pkl
-    as a torch.save of the whole WordEmbedding module (utils.py:398-401)."""
+    as a torch.save of the whole WordEmbedding module (utils.py:398-401);
+    its module classes are never importable here, so loading goes through
+    the stub unpickler."""
+    import sys
     import torch
-    import torch.nn as nn
     from vqatpu.data.tfidf import _read_embedding_cache
 
-    class WE(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.emb = nn.Embedding(7, 4)
-            self.emb_ = nn.Embedding(7, 4)
-
-    we = WE()
+    we = _CacheWE.build()
+    # expose the class where pickle can find it at SAVE time...
+    mod = sys.modules[__name__]
+    mod.CacheWE = _CacheWE._cls
+    _CacheWE._cls.__qualname__ = "CacheWE"
+    _CacheWE._cls.__module__ = __name__
     path = str(tmp_path / "embed_tfidf_weights.pkl")
     with open(path, "wb") as f:
         torch.save(we, f)
+    # ...then remove it so LOAD must use the stub fallback (the real case)
+    del mod.CacheWE
     out = _read_embedding_cache(path)
     assert out is not None
     np.testing.assert_allclose(out["emb"], we.emb.weight.detach().numpy())

@@ -169,17 +169,44 @@ def _read_embedding_cache(path: str):
             return cached
     except Exception:
         pass
-    try:  # torch.save zipfile format holding the reference nn.Module
+    try:  # torch.save zipfile format holding the reference nn.Module.
+        # The reference's module classes (src.language_model.WordEmbedding)
+        # aren't importable here, so unresolvable classes unpickle into
+        # permissive stubs; the tensors themselves reconstruct via torch's
+        # own (importable) rebuild machinery.
+        import pickle as _pickle
+        import types
+
         import torch
 
-        module = torch.load(path, map_location="cpu", weights_only=False)
-        sd = module.state_dict() if hasattr(module, "state_dict") else module
-        out = {"emb": sd["emb.weight"].detach().numpy()}
-        if "emb_.weight" in sd:
-            out["emb_"] = sd["emb_.weight"].detach().numpy()
-        else:
-            out["emb_"] = out["emb"]
-        return out
+        class _Stub:
+            def __init__(self, *a, **k):
+                pass
+
+        class _Unpickler(_pickle.Unpickler):
+            def find_class(self, mod, name):
+                try:
+                    return super().find_class(mod, name)
+                except (ImportError, AttributeError):
+                    return type(name, (_Stub,), {})
+
+        pm = types.SimpleNamespace(__name__="vqatpu_stub_pickle",
+                                   Unpickler=_Unpickler, load=_pickle.load)
+        obj = torch.load(path, map_location="cpu", pickle_module=pm,
+                         weights_only=False)
+
+        def weight_of(o, name):
+            sub = o.__dict__.get("_modules", {}).get(name)
+            if sub is None:
+                return None
+            w = sub.__dict__.get("_parameters", {}).get("weight")
+            return None if w is None else np.asarray(w.detach().numpy())
+
+        emb = weight_of(obj, "emb")
+        if emb is None:
+            return None
+        return {"emb": emb, "emb_": weight_of(obj, "emb_") if
+                weight_of(obj, "emb_") is not None else emb}
     except Exception:
         return None
 
