@@ -20,6 +20,9 @@ def parse_args(argv=None):
     add_common_args(parser)
     parser.add_argument("--split", type=str, default="test2015")
     parser.add_argument("--logits", type=bool, default=False)
+    parser.add_argument("--debug", action="store_true", default=False,
+                        help="echo the first question/predicted answer "
+                             "(reference test.py:55-66)")
     parser.add_argument("--epoch", type=str, default="12")
     parser.add_argument("--results", type=str, default="results")
     return parser.parse_args(argv)
@@ -42,6 +45,13 @@ def main(argv=None):
 
     loader = BatchLoader(eval_dset, args.batch_size)
     logits, qids = get_logits(model, params, loader)
+    if args.debug:
+        e = eval_dset.entries[0]
+        idx2word = dictionary.idx2word
+        toks = [idx2word[t] if t < len(idx2word) else "_" for t in e["q_token"]]
+        pred = eval_dset.label2ans[int(logits[0].argmax())]
+        print(" ".join(toks))
+        print(pred)
     paths = export_results(args.results, args.split, args.model, args.op,
                            args.num_hid, args.epoch, logits, qids,
                            eval_dset.label2ans,
