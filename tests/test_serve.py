@@ -62,3 +62,17 @@ def test_chunking_beyond_largest_bucket(tmp_path, rng):
     assert out.shape == (19, NUM_ANS)
     np.testing.assert_allclose(out[:4], sess.logits(v[:4], b[:4], q[:4], a[:4]),
                                atol=1e-5)
+
+
+def test_answer_by_embedding(tmp_path, rng):
+    """Embedding-distance decoding: the nearest ans_emb row wins."""
+    sess = make_session(tmp_path)
+    v, b, q, a = reqs(rng, 2)
+    logits = sess.logits(v, b, q, a)  # [2, NUM_ANS] used as "embeddings"
+    # construct a table whose row k equals sample k's prediction -> sample k
+    # must decode to answer k (distance exactly 0)
+    ans_emb = rng.randn(NUM_ANS, logits.shape[1]).astype(np.float32) * 10
+    ans_emb[3] = logits[0]
+    ans_emb[5] = logits[1]
+    out = sess.answer_by_embedding(v, b, q, ans_emb, a)
+    assert out == [ANS[3], ANS[5]]

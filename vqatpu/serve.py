@@ -120,3 +120,13 @@ class InferenceSession:
         """Argmax answer strings for a batch of requests."""
         logits = self.logits(v, b, q, a)
         return [self.label2ans[int(i)] for i in logits.argmax(1)]
+
+    def answer_by_embedding(self, v, b, q, ans_emb: np.ndarray,
+                            a=None) -> List[str]:
+        """Embedding-distance decoding (``FFOE/test.py:68-75``): treat the
+        model output as an embedding and answer with the nearest row of
+        ``ans_emb [num_ans, D]`` (the ``answer_embedding.pkl`` table from
+        ``vqatpu.tools.create_embedding``)."""
+        pred = self.logits(v, b, q, a)
+        d = np.linalg.norm(pred[:, None, :] - ans_emb[None, :, :], axis=2)
+        return [self.label2ans[int(i)] for i in d.argmin(1)]
