@@ -1,0 +1,29 @@
+"""Driver-contract regression guards for __graft_entry__.
+
+The driver (a) compile-checks ``entry()`` single-chip and (b) runs
+``dryrun_multichip(n)`` in a process whose sitecustomize force-pins the real
+TPU platform.  Round-1's MULTICHIP artifact went red because the dryrun
+inherited that pinning; it now re-execs itself in a CPU-pinned subprocess.
+These tests call both contracts the way the driver does.
+"""
+
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as graft
+
+
+def test_entry_traces_and_lowers():
+    fn, (params, batch) = graft.entry()
+    lowered = jax.jit(fn).lower(params, batch)
+    assert lowered is not None
+
+
+def test_dryrun_multichip_8_devices():
+    # Calls through the subprocess re-exec path exactly as the driver does;
+    # raises on any child failure (platform, mesh, sharding, numerics).
+    graft.dryrun_multichip(8)
