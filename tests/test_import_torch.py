@@ -38,19 +38,19 @@ class FC(nn.Module):
 
 
 class WE(nn.Module):
-    def __init__(self):
+    def __init__(self, dim=8):
         super().__init__()
-        self.emb = nn.Embedding(NTOKEN + 1, 8, padding_idx=NTOKEN)
-        self.emb_ = nn.Embedding(NTOKEN + 1, 8, padding_idx=NTOKEN)
+        self.emb = nn.Embedding(NTOKEN + 1, dim, padding_idx=NTOKEN)
+        self.emb_ = nn.Embedding(NTOKEN + 1, dim, padding_idx=NTOKEN)
 
     def forward(self, x):
         return torch.cat([self.emb(x), self.emb_(x)], -1)
 
 
 class QE(nn.Module):
-    def __init__(self, in_dim):
+    def __init__(self, in_dim, hid=HID):
         super().__init__()
-        self.rnn = nn.GRU(in_dim, HID, 1, batch_first=True)
+        self.rnn = nn.GRU(in_dim, hid, 1, batch_first=True)
 
     def forward(self, x):
         out, _ = self.rnn(x)
@@ -194,3 +194,304 @@ def test_cti_import_structure(rng):
     # roundtrip: imported values equal the originals, leaf-for-leaf
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CTI (FFOE), TanModel (MC) and BanModel (MC) importer VALUE parity:
+# reference-named torch modules -> state_dict -> convert_state_dict (the full
+# shape-checked entry path) -> vqatpu forward reproduces the torch logits.
+# Reference layouts: tc.py:24-37 (tuckers + rank nets + T_g, rank nets only
+# when h_dim<1024 — i.e. the attention TCNet; glimpse t_nets are k=2 and
+# carry tuckers only), MC/base_model.py:19-77 and 112-152.
+# ---------------------------------------------------------------------------
+
+HMM, RANK, GAMMA, CHID = 16, 4, 2, 32  # CHID = 2*HMM (the k=2 joint contract)
+A_LEN = 3
+
+
+class CLS(nn.Module):
+    """SimpleClassifier layout: wn-linear / ReLU / Dropout / wn-linear under
+    ``main`` (classifier.py:11-29)."""
+
+    def __init__(self, in_dim, hid, out):
+        super().__init__()
+        self.main = nn.Sequential(
+            weight_norm(nn.Linear(in_dim, hid), dim=None), nn.ReLU(),
+            nn.Dropout(0.5), weight_norm(nn.Linear(hid, out), dim=None))
+
+    def forward(self, x):
+        return self.main(x)
+
+
+class TCRef(nn.Module):
+    """TCNet state-dict layout (tc.py:24-37)."""
+
+    def __init__(self, v_dim, q_dim, a_dim, h_dim, rank, glimpse, with_rank):
+        super().__init__()
+        self.v_tucker = FC([v_dim, h_dim], drop=0.5)
+        self.q_tucker = FC([q_dim, h_dim], drop=0.2)
+        self.a_tucker = FC([a_dim, h_dim], drop=0.2)
+        if with_rank:
+            hr = h_dim // rank
+            self.v_net = nn.ModuleList(
+                [FC([h_dim, hr], drop=0.5) for _ in range(rank)])
+            self.q_net = nn.ModuleList(
+                [FC([h_dim, hr], drop=0.2) for _ in range(rank)])
+            self.a_net = nn.ModuleList(
+                [FC([h_dim, hr], drop=0.2) for _ in range(rank)])
+            self.T_g = nn.Parameter(
+                torch.randn(1, rank, hr, hr, hr, glimpse, 1))
+
+
+class TriATT(nn.Module):
+    """TriAttention wraps its TCNet as attribute ``TriAtt`` (attention.py:46)."""
+
+    def __init__(self, v_dim, q_dim, a_dim, h_dim, rank, glimpse):
+        super().__init__()
+        self.TriAtt = TCRef(v_dim, q_dim, a_dim, h_dim, rank, glimpse,
+                            with_rank=True)
+
+
+class TorchCTI(nn.Module):
+    """Reference-named CTI module (FFOE/base_model.py:95-136).  The MC
+    TanModel (MC/base_model.py:112-152) differs only in the attention
+    attribute name ('v_att') and the 2-class head."""
+
+    def __init__(self, num_out, att_attr="t_att"):
+        super().__init__()
+        self.att_attr = att_attr
+        self.w_emb = WE(300)
+        self.q_emb = QE(600, CHID)
+        self.wa_emb = WE(300)
+        self.ans_emb = QE(600, CHID)
+        setattr(self, att_attr, TriATT(V_DIM, CHID, CHID, HMM, RANK, GAMMA))
+        self.t_net = nn.ModuleList(
+            [TCRef(V_DIM, CHID, CHID, 2 * HMM, RANK, 1, with_rank=False)
+             for _ in range(GAMMA)])
+        self.q_prj = nn.ModuleList(
+            [FC([CHID, CHID], act=None, drop=0.2) for _ in range(GAMMA)])
+        self.a_prj = nn.ModuleList(
+            [FC([CHID, CHID], act=None, drop=0.2) for _ in range(GAMMA)])
+        self.classifier = CLS(CHID, 2 * CHID, num_out)
+
+    def forward(self, v, q, a):
+        q_emb = self.q_emb(self.w_emb(q))
+        ans_emb = self.ans_emb(self.wa_emb(a))
+        tri = getattr(self, self.att_attr).TriAtt
+        v_t = tri.v_tucker(v)
+        q_t = tri.q_tucker(q_emb)
+        a_t = tri.a_tucker(ans_emb)
+        logits = 0
+        for r in range(RANK):
+            logits = logits + torch.einsum(
+                "bix,bjy,blz,xyzg->bijlg", tri.v_net[r](v_t),
+                tri.q_net[r](q_t), tri.a_net[r](a_t), tri.T_g[0, r, ..., 0])
+        mask = (v.abs().sum(2) != 0)
+        b_, v_n, q_n, a_n = v.shape[0], v.shape[1], q.shape[1], a.shape[1]
+        neg = logits.masked_fill(~mask[:, :, None, None, None], -float("inf"))
+        att = torch.softmax(neg.reshape(b_, v_n * q_n * a_n, GAMMA), 1)
+        att = att.reshape(b_, v_n, q_n, a_n, GAMMA)
+        for g in range(GAMMA):
+            tn = self.t_net[g]
+            joint = torch.einsum(
+                "bvd,bvqa,bqd,bad->bd", tn.v_tucker(v), att[..., g],
+                tn.q_tucker(q_emb), tn.a_tucker(ans_emb))
+            q_emb = self.q_prj[g](joint[:, None, :]) + q_emb
+            ans_emb = self.a_prj[g](joint[:, None, :]) + ans_emb
+        return self.classifier(q_emb.sum(1) + ans_emb.sum(1)), att
+
+
+def _tri_inputs(rng):
+    v = rng.randn(B, V, V_DIM).astype(np.float32)
+    v[:, 5:] = 0.0
+    q = rng.randint(0, NTOKEN + 1, (B, Q))
+    a = rng.randint(0, NTOKEN + 1, (B, A_LEN))
+    return v, q, a
+
+
+def _tri_cfg(task, **kw):
+    return ModelConfig(ntoken=NTOKEN, v_dim=V_DIM,
+                       num_ans_candidates=NUM_ANS, task=task, num_hid=CHID,
+                       h_mm=HMM, rank=RANK, gamma=GAMMA, op="c", **kw)
+
+
+def test_import_cti_checkpoint_reproduces_logits(rng):
+    torch.manual_seed(5)
+    tm = TorchCTI(NUM_ANS, att_attr="t_att")
+    tm.eval()
+    v, q, a = _tri_inputs(rng)
+    with torch.no_grad():
+        want, want_att = tm(torch.from_numpy(v), torch.from_numpy(q).long(),
+                            torch.from_numpy(a).long())
+
+    model = build_model(_tri_cfg("ffoe", model="cti"))
+    sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+    params = convert_state_dict(sd, model)
+    got, got_att = model.apply(
+        jax.tree.map(jnp.asarray, params),
+        {"v": jnp.asarray(v), "q": jnp.asarray(q), "a": jnp.asarray(a)})
+    np.testing.assert_allclose(np.asarray(got_att), want_att.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-3)
+
+
+def test_import_tan_mc_checkpoint_reproduces_logits(rng):
+    torch.manual_seed(6)
+    tm = TorchCTI(2, att_attr="v_att")
+    tm.eval()
+    v, q, a = _tri_inputs(rng)
+    with torch.no_grad():
+        want, _ = tm(torch.from_numpy(v), torch.from_numpy(q).long(),
+                     torch.from_numpy(a).long())
+
+    model = build_model(_tri_cfg("mc", model="cti"))
+    sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+    params = convert_state_dict(sd, model)
+    got, _ = model.apply(
+        jax.tree.map(jnp.asarray, params),
+        {"v": jnp.asarray(v), "q": jnp.asarray(q), "a": jnp.asarray(a)})
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-3)
+
+
+class PLRef(nn.Module):
+    """PiecewiseLin holds one ``weight`` of n+1 knots (counting.py:148-155)."""
+
+    def __init__(self, n=16):
+        super().__init__()
+        self.weight = nn.Parameter(torch.rand(n + 1) + 0.1)
+
+
+class CounterRef(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.f = nn.ModuleList([PLRef() for _ in range(8)])
+
+
+class BANATT300(nn.Module):
+    """BiAttention at 300-d word / CHID hidden dims."""
+
+    def __init__(self, glimpse):
+        super().__init__()
+        bc = BC.__new__(BC)
+        nn.Module.__init__(bc)
+        bc.v_net = FC([V_DIM, CHID * 3])
+        bc.q_net = FC([CHID, CHID * 3])
+        bc.h_mat = nn.Parameter(torch.randn(1, glimpse, 1, CHID * 3))
+        bc.h_bias = nn.Parameter(torch.randn(1, glimpse, 1, 1))
+        self.logits = weight_norm(bc, name="h_mat", dim=None)
+
+
+class BCJoint(nn.Module):
+    """Pooling BCNet (h_out=None, k=1): v_net + q_net only."""
+
+    def __init__(self):
+        super().__init__()
+        self.v_net = FC([V_DIM, CHID])
+        self.q_net = FC([CHID, CHID])
+
+
+def _ban_att(attmod, v, states):
+    """BiAttention forward (attention.py:30-40): returns (att, masked logits)."""
+    bc = attmod.logits
+    v_ = bc.v_net(v)
+    q_ = bc.q_net(states)
+    g = bc.h_mat.shape[1]
+    logits = torch.einsum("bvd,gd,bqd->bgvq", v_, bc.h_mat[0, :, 0, :], q_)
+    logits = logits + bc.h_bias
+    mask = (v.abs().sum(2) != 0)
+    neg = logits.masked_fill(~mask[:, None, :, None], -float("inf"))
+    b_, v_n, q_n = v.shape[0], v.shape[1], states.shape[1]
+    att = torch.softmax(neg.reshape(b_, g, v_n * q_n), 2).reshape(
+        b_, g, v_n, q_n)
+    return att, neg
+
+
+class TorchBanMC(nn.Module):
+    """Reference-named MC BanModel (MC/base_model.py:19-77): dual
+    BiAttention, answer stream, tva_net, counter branch."""
+
+    def __init__(self):
+        super().__init__()
+        self.w_emb = WE(300)
+        self.q_emb = QE(600, CHID)
+        self.wa_emb = WE(300)
+        self.ans_emb = QE(600, CHID)
+        self.v_att = BANATT300(GAMMA)
+        self.va_att = BANATT300(GAMMA)
+        self.b_net = nn.ModuleList([BCJoint() for _ in range(GAMMA)])
+        self.tva_net = nn.ModuleList([BCJoint() for _ in range(GAMMA)])
+        self.q_prj = nn.ModuleList(
+            [FC([CHID, CHID], act=None, drop=0.2) for _ in range(GAMMA)])
+        self.a_prj = nn.ModuleList(
+            [FC([CHID, CHID], act=None, drop=0.2) for _ in range(GAMMA)])
+        self.c_prj = nn.ModuleList(
+            [FC([11, CHID], act=nn.ReLU, drop=0.0) for _ in range(GAMMA)])
+        self.counter = CounterRef()
+        self.classifier = CLS(CHID, 2 * CHID, 2)
+
+    def forward(self, v, b, q, a):
+        from tests.test_ops_counter_losses import np_counter
+
+        q_emb = self.q_emb(self.w_emb(q))
+        ans_emb = self.ans_emb(self.wa_emb(a))
+        att, logits = _ban_att(self.v_att, v, q_emb)
+        va_att, _ = _ban_att(self.va_att, v, ans_emb)
+        boxes = b[:, :, :4].transpose(1, 2)
+        cw = {f"f{i}": {"weight": self.counter.f[i].weight.detach().numpy()}
+              for i in range(8)}
+        for g in range(GAMMA):
+            bn, tn = self.b_net[g], self.tva_net[g]
+            b_emb = torch.einsum("bvd,bvq,bqd->bd", bn.v_net(v), att[:, g],
+                                 bn.q_net(q_emb))
+            va_emb = torch.einsum("bvd,bvq,bqd->bd", tn.v_net(v), va_att[:, g],
+                                  tn.q_net(ans_emb))
+            q_emb = self.q_prj[g](b_emb[:, None, :]) + q_emb
+            ans_emb = self.a_prj[g](va_emb[:, None, :]) + ans_emb
+            atten = logits[:, g].max(2).values
+            embed = torch.from_numpy(np_counter(
+                cw, boxes.numpy(), atten.numpy(), objects=10))
+            q_emb = q_emb + self.c_prj[g](embed.float())[:, None, :]
+        return self.classifier(q_emb.sum(1) + ans_emb.sum(1))
+
+
+def test_import_ban_mc_checkpoint_reproduces_logits(rng):
+    torch.manual_seed(9)
+    tm = TorchBanMC()
+    tm.eval()
+    v, q, a = _tri_inputs(rng)
+    b = np.sort(rng.rand(B, V, 6).astype(np.float32), axis=2)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(v), torch.from_numpy(b),
+                  torch.from_numpy(q).long(), torch.from_numpy(a).long())
+
+    model = build_model(_tri_cfg("mc", model="ban", use_counter=True))
+    sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+    params = convert_state_dict(sd, model)
+    got, _ = model.apply(
+        jax.tree.map(jnp.asarray, params),
+        {"v": jnp.asarray(v), "b": jnp.asarray(b), "q": jnp.asarray(q),
+         "a": jnp.asarray(a)})
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-3)
+
+
+def test_load_params_any_pth_on_ramp(rng, tmp_path):
+    """A reference utils.save_model .pth (FFOE/test.py:157-166 format) drops
+    straight into the eval-CLI checkpoint resolver."""
+    from vqatpu.train.checkpoints import load_params_any
+
+    torch.manual_seed(5)
+    tm = TorchCTI(NUM_ANS, att_attr="t_att")
+    tm.eval()
+    torch.save({"epoch": 12, "model_state": tm.state_dict(),
+                "optimizer_state": {}}, tmp_path / "model_epoch12.pth")
+
+    model = build_model(_tri_cfg("ffoe", model="cti"))
+    params = load_params_any(str(tmp_path), 12, model)
+
+    v, q, a = _tri_inputs(rng)
+    with torch.no_grad():
+        want, _ = tm(torch.from_numpy(v), torch.from_numpy(q).long(),
+                     torch.from_numpy(a).long())
+    got, _ = model.apply(
+        jax.tree.map(jnp.asarray, params),
+        {"v": jnp.asarray(v), "q": jnp.asarray(q), "a": jnp.asarray(a)})
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-3)

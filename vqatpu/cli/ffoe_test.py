@@ -12,7 +12,7 @@ from vqatpu.cli.common import add_common_args, model_config_from_args
 from vqatpu.data import BatchLoader, Dictionary, TDIUCFeatureDataset, VQAFeatureDataset
 from vqatpu.eval import export_results, get_logits
 from vqatpu.models import build_model
-from vqatpu.train.checkpoints import load_checkpoint
+from vqatpu.train.checkpoints import load_params_any
 
 
 def parse_args(argv=None):
@@ -39,9 +39,8 @@ def main(argv=None):
     mcfg = model_config_from_args(args, eval_dset)
     model = build_model(mcfg)
 
-    ckpt_path = os.path.join(args.input, f"model_epoch{args.epoch}.ckpt")
-    payload = load_checkpoint(ckpt_path)
-    params = jax.tree.map(jax.numpy.asarray, payload["params"])
+    params = jax.tree.map(jax.numpy.asarray,
+                          load_params_any(args.input, args.epoch, model))
 
     loader = BatchLoader(eval_dset, args.batch_size)
     logits, qids = get_logits(model, params, loader)

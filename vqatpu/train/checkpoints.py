@@ -46,6 +46,23 @@ def load_checkpoint(path: str) -> dict:
         return pickle.load(f)
 
 
+def load_params_any(input_dir: str, epoch, model) -> Any:
+    """Resolve eval params from ``{input_dir}/model_epoch{epoch}.ckpt`` (ours)
+    or ``.pth`` (the reference ``utils.save_model`` format,
+    ``FFOE/test.py:157-166``) — the released-checkpoint on-ramp: a reference
+    user's trained ``.pth`` drops straight into the test CLIs."""
+    ckpt = os.path.join(input_dir, f"model_epoch{epoch}.ckpt")
+    if os.path.exists(ckpt):
+        return load_checkpoint(ckpt)["params"]
+    pth = os.path.join(input_dir, f"model_epoch{epoch}.pth")
+    if os.path.exists(pth):
+        from vqatpu.tools.import_torch import import_checkpoint
+
+        return import_checkpoint(pth, model)
+    raise FileNotFoundError(
+        f"no model_epoch{epoch}.ckpt or .pth under {input_dir}")
+
+
 def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
     """Load params/opt_state into an existing (freshly-built) state, returning
     (state, start_epoch).  Structure must match the current model."""
