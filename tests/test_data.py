@@ -279,3 +279,31 @@ def test_tfidf_cache_reads_torch_module_format(tmp_path):
     with open(bad, "wb") as f:
         f.write(b"not a pickle")
     assert _read_embedding_cache(bad) is None
+
+
+def test_tfidf_scale_vqa2_sized(tmp_path):
+    """VQA-2.0-scale build + mix completes in seconds (the reference gets
+    this from torch.sparse.mm, dataset.py:170-189): 20k vocab, 500k
+    questions, millions of nonzeros."""
+    import time
+    from vqatpu.data.tfidf import _build_row_stochastic
+
+    rs = np.random.RandomState(0)
+    n_vocab, n_q = 20_000, 500_000
+    lens = rs.randint(4, 13, n_q)
+    flat = rs.zipf(1.3, lens.sum()).clip(max=n_vocab - 1).astype(np.int64)
+
+    t0 = time.time()
+    tfidf = _build_row_stochastic(flat, lens, n_base=n_vocab // 2,
+                                  n_vocab=n_vocab)
+    dense = rs.randn(n_vocab, 300).astype(np.float32)
+    mixed = tfidf.matmul_dense(dense)
+    elapsed = time.time() - t0
+
+    assert tfidf.row.size > 1_000_000  # genuinely at scale
+    assert mixed.shape == (tfidf.shape[0], 300)
+    # rows are stochastic
+    rowsum = np.bincount(tfidf.row, weights=tfidf.val)
+    present = np.bincount(tfidf.row).astype(bool)
+    np.testing.assert_allclose(rowsum[present], 1.0, rtol=1e-9)
+    assert elapsed < 30.0, f"tf-idf scale build took {elapsed:.1f}s"

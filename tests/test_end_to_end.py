@@ -157,3 +157,71 @@ def test_embedding_distance_scorers(rng):
     pred_emb = np.asarray([[0, 1.9, 0.1, 0], [0.9, 0.1, 0, 0]], np.float32)
     out = compute_score_with_emb(pred_emb, mc, gt)
     np.testing.assert_array_equal(out, [True, False])
+
+
+def test_sharded_eval_matches_single_device(vqa_root):
+    """In-loop eval sharded over the 8-device data mesh returns exactly the
+    single-device score (VERDICT r1 weak #5)."""
+    from vqatpu.parallel import make_mesh, replicate
+
+    root, d = vqa_root
+    val_ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    model = build_model(small_cfg(val_ds, "cti"))
+    params = model.init(jax.random.PRNGKey(3))
+
+    want = evaluate(model, params, BatchLoader(val_ds, 8))
+    mesh = make_mesh()
+    got = evaluate(model, replicate(params, mesh),
+                   BatchLoader(val_ds, 8), mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_log_format_parity(vqa_root, tmp_path):
+    """log.txt lines match the reference formats exactly
+    (FFOE/train.py:63-69, 103-106): warmup/decay lr lines, epoch timing,
+    train_loss/norm/score, eval score with upper bound."""
+    import re
+
+    root, d = vqa_root
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    val_ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    cfg = TrainConfig(epochs=2, batch_size=8, update_freq=1, saving_epoch=99,
+                      warmup_factors=(0.5,), lr_decay_start=1,
+                      lr_decay_step=2, lr_decay_end=3)
+    model = build_model(small_cfg(train_ds, "ban"))
+    out = str(tmp_path / "logfmt")
+    train(model, train_ds, val_ds, cfg, out, use_mesh=False)
+
+    with open(os.path.join(out, "log.txt")) as f:
+        log = f.read().splitlines()
+
+    patterns = [
+        r"^gradual warmup lr: \d+\.\d{8}$",
+        r"^decreased lr: \d+\.\d{8}$",
+        r"^epoch \d+, time: \d+\.\d{2}$",
+        r"^\ttrain_loss: \d+\.\d{2}, norm: \d+\.\d{4}, score: \d+\.\d{2}$",
+        r"^\teval score: \d+\.\d{2} \(\d+\.\d{2}\)$",
+    ]
+    for pat in patterns:
+        assert any(re.match(pat, line) for line in log), (pat, log)
+
+
+def test_orbax_backend_in_train_loop(vqa_root, tmp_path):
+    """--ckpt_backend orbax: the loop writes .orbax checkpoints and the eval
+    CLIs' resolver reads them back (VERDICT r1 weak #7)."""
+    from vqatpu.train.checkpoints import load_params_any
+
+    root, d = vqa_root
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    val_ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    cfg = TrainConfig(epochs=1, batch_size=8, update_freq=1, saving_epoch=0,
+                      ckpt_backend="orbax")
+    model = build_model(small_cfg(train_ds, "ban"))
+    out = str(tmp_path / "orbax_loop")
+    state = train(model, train_ds, val_ds, cfg, out, use_mesh=False)
+    assert os.path.isdir(os.path.join(out, "model_epoch0.orbax"))
+    assert os.path.isdir(os.path.join(out, "model_epoch_best.orbax"))
+
+    params = load_params_any(out, 0, model)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -8,7 +8,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqatpu.config import ModelConfig, TrainConfig
 from vqatpu.models import build_model
-from vqatpu.sharding import (
+from vqatpu.parallel import (
     DATA_AXIS,
     MODEL_AXIS,
     make_mesh_2d,

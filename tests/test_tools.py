@@ -216,3 +216,42 @@ def test_compute_softscore_cli(tmp_path):
     with open(os.path.join(root, "cache", "train_target.pkl"), "rb") as f:
         targets = pickle.load(f)
     assert targets[0]["labels"] == [0] and targets[0]["scores"] == [1.0]
+
+
+def test_create_bert_embedding_with_tiny_model(tmp_path):
+    """BERT answer-embedding path (tools/create_bert_embedding.py:7-23)
+    end-to-end with a tiny random-init BertModel and a wordpiece-free stub
+    tokenizer — no network, real transformers forward."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from vqatpu.data.dictionary import Dictionary
+    from vqatpu.tools.create_embedding import create_bert_embedding
+
+    d = Dictionary()
+    d.tokenize("what color is the cat", add_word=True)
+    d.dump_to_file(str(tmp_path / "dictionary.pkl"))
+
+    torch.manual_seed(0)
+    model = BertModel(BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=8))
+
+    class StubTokenizer:
+        def tokenize(self, word):
+            return list(word)[:4]
+
+        def convert_tokens_to_ids(self, tokens):
+            return [ord(t) % 64 for t in tokens]
+
+    out = create_bert_embedding(str(tmp_path), model=model,
+                                tokenizer=StubTokenizer())
+    weights = np.load(out)
+    assert weights.shape == (d.ntoken, 16)
+    assert np.abs(weights).sum() > 0  # every vocab word got a real row
+    assert np.isfinite(weights).all()
+    # deterministic: same model + tokenizer -> identical matrix
+    out2 = create_bert_embedding(str(tmp_path), model=model,
+                                 tokenizer=StubTokenizer())
+    np.testing.assert_array_equal(weights, np.load(out2))

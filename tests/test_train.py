@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from vqatpu.config import ModelConfig, TrainConfig
 from vqatpu.models import build_model
-from vqatpu.sharding import make_mesh, replicate, shard_batch
+from vqatpu.parallel import make_mesh, replicate, shard_batch
 from vqatpu.train import (
     TrainState,
     adamax,
@@ -277,3 +277,68 @@ def test_accumulation_flushes_at_epoch_end(rng, tmp_path):
     state = train(m, ds, None, cfg, str(tmp_path / "o"), use_mesh=False)
     assert int(state.step) == 4  # 2 updates x 2 epochs
     assert int(state.accum_count) == 0  # nothing carried over
+
+
+def test_orbax_sharded_state_save_restore_step(rng, tmp_path):
+    """Orbax checkpoint of a TrainState sharded on the 4x2 (data x model)
+    mesh: restore into a fresh sharded state, take one more step — BIT-equal
+    to the uninterrupted sharded run, and equal (to float-reassociation
+    tolerance) to the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqatpu.parallel import DATA_AXIS, make_mesh_2d, replicate, shard_params
+    from vqatpu.train.checkpoints import (
+        restore_train_state_orbax,
+        save_checkpoint_orbax,
+    )
+
+    # vocab divisible by the model axis (the classifier out-dim is sharded)
+    cfg = tiny_cfg(model="cti", num_ans_candidates=16)
+    m = build_model(cfg)
+    step = make_train_step(m, TrainConfig(update_freq=1))
+
+    B = 8
+    v = rng.randn(B, 8, 32).astype(np.float32)
+    batch = {
+        "v": jnp.asarray(v),
+        "q": jnp.asarray(rng.randint(0, 51, (B, 12))),
+        "a": jnp.asarray(rng.randint(0, 51, (B, 3))),
+        "target": jnp.asarray(rng.rand(B, cfg.num_ans_candidates).astype(np.float32)),
+    }
+
+    # unsharded 2-step reference trajectory
+    s0 = make_train_state(m, jax.random.PRNGKey(0))
+    s0, _ = step(s0, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    s0, _ = step(s0, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
+
+    mesh = make_mesh_2d(4, 2)
+
+    def shard_state(s):
+        return TrainState(
+            params=shard_params(s.params, mesh),
+            opt_state=replicate(s.opt_state, mesh),
+            grad_accum=shard_params(s.grad_accum, mesh),
+            accum_count=replicate(s.accum_count, mesh),
+            step=replicate(s.step, mesh),
+        )
+
+    sb = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), batch)
+    s = shard_state(make_train_state(m, jax.random.PRNGKey(0)))
+    s, _ = step(s, sb, jnp.float32(1e-3), jax.random.PRNGKey(1))
+
+    # save BEFORE the continuation step (the jitted step donates its input
+    # state buffers), then compare the two continuations
+    path = str(tmp_path / "sharded_orbax")
+    save_checkpoint_orbax(path, s, epoch=0)
+    s_cont, _ = step(s, sb, jnp.float32(1e-3), jax.random.PRNGKey(2))
+    fresh = shard_state(make_train_state(m, jax.random.PRNGKey(42)))
+    restored, start_epoch = restore_train_state_orbax(path, fresh)
+    assert start_epoch == 1
+    restored = shard_state(restored)
+    s_rest, _ = step(restored, sb, jnp.float32(1e-3), jax.random.PRNGKey(2))
+
+    for a, b in zip(jax.tree.leaves(s_cont.params), jax.tree.leaves(s_rest.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s_rest.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

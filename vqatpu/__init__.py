@@ -19,7 +19,7 @@ Layer map (mirrors SURVEY.md §1, re-architected for TPU):
 - ``vqatpu.eval``     — EvalAI JSON export, teacher-logit dump, TDIUC
                         mean-per-type metrics, MC scoring.
 - ``vqatpu.cli``      — entry points preserving the reference's CLI surface.
-- ``vqatpu.sharding`` — device-mesh construction and data-parallel layout.
+- ``vqatpu.parallel.sharding`` — device-mesh construction and data-parallel layout.
 """
 
 __version__ = "0.1.0"

@@ -61,6 +61,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--kernel_backend", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="trilinear hot-op kernel path")
+    parser.add_argument("--ckpt_backend", type=str, default="pickle",
+                        choices=["pickle", "orbax"],
+                        help="checkpoint format (orbax = sharded/multi-host)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", action="store_true", default=False,
@@ -107,4 +110,5 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         T=args.T,
         alpha=args.alpha,
         compute_dtype=args.compute_dtype,
+        ckpt_backend=args.ckpt_backend,
     )

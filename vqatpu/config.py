@@ -78,3 +78,4 @@ class TrainConfig:
     # TPU-side knobs (no reference analogue)
     compute_dtype: str = "float32"  # or "bfloat16"
     data_axis: str = "data"
+    ckpt_backend: str = "pickle"  # or "orbax" (multi-host/sharded restore)

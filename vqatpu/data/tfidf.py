@@ -11,35 +11,23 @@ Documented divergence: the reference has an indexing typo
 (hengyuan-hu/ban-vqa) uses ``vals[idx] /= df[col]``; we implement the
 intended upstream math.
 
-No torch.sparse: duplicates are coalesced by summation in scipy-free COO
-accumulation, and the mix is applied row-wise without materializing a dense
-N x N matrix.
+No torch.sparse: the co-occurrence pairs are generated with vectorized
+numpy (questions grouped by token count, one ``triu_indices`` gather per
+group), coalesced/normalized with ``np.unique``/``np.bincount``, and the
+mix is applied as a scipy CSR @ dense — the same C-speed sparse matmul the
+reference gets from ``torch.sparse.mm``, at VQA-2.0 scale (~650k questions,
+millions of nonzeros) in seconds.
 """
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
-from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from vqatpu.data.dictionary import Dictionary
-
-
-def _populate(inds, df, dictionary: Dictionary, text: str, N: int):
-    tokens = dictionary.tokenize(text, add_word=True)
-    for t in tokens:
-        df[t] = df.get(t, 0) + 1
-    for c0, c1 in itertools.combinations(tokens, 2):
-        if c0 < N:
-            inds[0].append(c0)
-            inds[1].append(c1)
-        if c1 < N:
-            inds[0].append(c1)
-            inds[1].append(c0)
 
 
 def _iter_question_texts(names: Sequence[str], dataroot: str,
@@ -80,23 +68,84 @@ def _iter_question_texts(names: Sequence[str], dataroot: str,
 
 
 class SparseRowStochastic:
-    """Row-stochastic sparse matrix as {row: {col: val}} — applied row-wise."""
+    """Row-stochastic sparse matrix in coalesced COO arrays."""
 
-    def __init__(self, rows: Dict[int, Dict[int, float]], shape: Tuple[int, int]):
-        self.rows = rows
+    def __init__(self, row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                 shape: Tuple[int, int]):
+        self.row = np.asarray(row, np.int64)
+        self.col = np.asarray(col, np.int64)
+        self.val = np.asarray(val, np.float64)
         self.shape = shape
+
+    @property
+    def rows(self) -> Dict[int, Dict[int, float]]:
+        """Dict-of-dicts view for inspection/tests (built on demand)."""
+        out: Dict[int, Dict[int, float]] = {}
+        for r, c, v in zip(self.row.tolist(), self.col.tolist(),
+                           self.val.tolist()):
+            out.setdefault(r, {})[c] = v
+        return out
 
     def matmul_dense(self, dense: np.ndarray) -> np.ndarray:
         """[N, N'] @ [N', F] without densifying; only for rows present."""
-        out = np.zeros((self.shape[0], dense.shape[1]), np.float32)
-        for r, cols in self.rows.items():
-            acc = out[r]
-            for c, v in cols.items():
-                if c < dense.shape[0]:
-                    acc += v * dense[c]
-        return out
+        import scipy.sparse as sp
+
+        dense = np.asarray(dense, np.float32)
+        keep = self.col < dense.shape[0]
+        mat = sp.csr_matrix(
+            (self.val[keep], (self.row[keep], self.col[keep])),
+            shape=(self.shape[0], dense.shape[0]))
+        return np.asarray(mat @ dense, np.float32)
 
     __matmul__ = matmul_dense
+
+
+def _build_row_stochastic(flat: np.ndarray, lens: np.ndarray, n_base: int,
+                          n_vocab: int) -> SparseRowStochastic:
+    """Vectorized co-occurrence -> tf-idf -> row-stochastic build.
+
+    ``flat`` is every question's token ids concatenated, ``lens`` the per-
+    question token counts.  Semantics match the reference loop
+    (``dataset.py:145-168``): document frequency counts every token
+    occurrence; each unordered in-question position pair (i<j) contributes
+    1/df to both directed entries whose row is a base-vocab word
+    (duplicated words therefore self-pair, as positions do in the
+    reference's ``itertools.combinations``)."""
+    df = np.bincount(flat, minlength=n_vocab).astype(np.float64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+
+    row_parts: List[np.ndarray] = []
+    col_parts: List[np.ndarray] = []
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        qidx = np.nonzero(lens == L)[0]
+        toks2d = flat[starts[qidx][:, None] + np.arange(L)[None, :]]
+        iu, ju = np.triu_indices(int(L), k=1)
+        c0 = toks2d[:, iu].ravel()
+        c1 = toks2d[:, ju].ravel()
+        m0 = c0 < n_base
+        m1 = c1 < n_base
+        row_parts += [c0[m0], c1[m1]]
+        col_parts += [c1[m0], c0[m1]]
+
+    if not row_parts:
+        return SparseRowStochastic(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                                   np.zeros(0, np.float64), (1, n_vocab))
+
+    row = np.concatenate(row_parts)
+    col = np.concatenate(col_parts)
+    val = 1.0 / df[col]
+    # coalesce duplicate (row, col) pairs, then row-normalize
+    keys = row * np.int64(n_vocab) + col
+    uniq, inv = np.unique(keys, return_inverse=True)
+    cval = np.bincount(inv, weights=val)
+    crow = uniq // n_vocab
+    ccol = uniq % n_vocab
+    nrows = int(crow.max()) + 1
+    rowsum = np.bincount(crow, weights=cval, minlength=nrows)
+    cval = cval / rowsum[crow]
+    return SparseRowStochastic(crow, ccol, cval, (nrows, n_vocab))
 
 
 def tfidf_from_questions(names: Sequence[str], dictionary: Dictionary,
@@ -109,24 +158,16 @@ def tfidf_from_questions(names: Sequence[str], dictionary: Dictionary,
     Side effect (as in the reference): extends ``dictionary`` with every word
     seen in the target question files.
     """
-    inds: List[List[int]] = [[], []]
-    df: Dict[int, int] = {}
     N = len(dictionary)
+    flat: List[int] = []
+    lens: List[int] = []
     for text in _iter_question_texts(names, dataroot, target):
-        _populate(inds, df, dictionary, text, N)
-
-    # tf-idf values then row-stochastic normalization (coalescing duplicates)
-    rows: Dict[int, Dict[int, float]] = defaultdict(lambda: defaultdict(float))
-    for r, c in zip(inds[0], inds[1]):
-        rows[r][c] += 1.0 / df[c]
-    for r, cols in rows.items():
-        z = sum(cols.values())
-        for c in cols:
-            cols[c] /= z
-    tfidf = SparseRowStochastic(
-        {r: dict(c) for r, c in rows.items()},
-        (max(rows, default=0) + 1, len(dictionary)),
-    )
+        toks = dictionary.tokenize(text, add_word=True)
+        flat.extend(toks)
+        lens.append(len(toks))
+    tfidf = _build_row_stochastic(
+        np.asarray(flat, np.int64), np.asarray(lens, np.int64), N,
+        len(dictionary))
 
     # GloVe rows for the words the question files appended to the dictionary
     if glove_file is None:

@@ -34,7 +34,23 @@ def get_logits(model, params, loader: BatchLoader
     return np.concatenate(preds, 0), np.concatenate(qids, 0)
 
 
-def evaluate(model, params, loader: BatchLoader) -> Tuple[float, float]:
+def _maybe_shard(db: dict, mesh):
+    """Shard an eval batch over the data mesh when one is active (in-loop
+    eval then runs on every chip, like the train step); padded eval batches
+    are always full-size, so divisibility only depends on the batch size."""
+    if mesh is None:
+        return db
+    from vqatpu.parallel import shard_batch
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    batch = next(iter(db.values())).shape[0]
+    if batch % n_dev != 0:
+        return db
+    return shard_batch(db, mesh)
+
+
+def evaluate(model, params, loader: BatchLoader, mesh=None
+             ) -> Tuple[float, float]:
     """Soft-accuracy + upper bound over a val loader
     (``FFOE/train.py:119-149``)."""
     eval_step = make_eval_step(model)
@@ -43,8 +59,9 @@ def evaluate(model, params, loader: BatchLoader) -> Tuple[float, float]:
     n = 0
     for batch in loader:
         valid = batch.pop("valid")
-        out = eval_step(params, {k: v for k, v in batch.items()
-                                 if k in ("v", "b", "q", "a", "v_mask", "target")})
+        db = {k: v for k, v in batch.items()
+              if k in ("v", "b", "q", "a", "v_mask", "target")}
+        out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])
         target = np.asarray(batch["target"])
         one_hot = np.eye(logits.shape[1], dtype=np.float32)[logits.argmax(1)]

@@ -44,16 +44,20 @@ def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
     return (chosen - gt_emb).sum(axis=1) == 0
 
 
-def evaluate_mc(model, params, loader: BatchLoader) -> Tuple[float, float]:
+def evaluate_mc(model, params, loader: BatchLoader, mesh=None
+                ) -> Tuple[float, float]:
     """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
     training (``MC/test.py:89-126``)."""
+    from vqatpu.eval.ffoe import _maybe_shard
+
     eval_step = make_eval_step(model)
     score = 0.0
     n = 0
     for batch in loader:
         valid = batch.pop("valid")
         ex = expand_mc_batch(batch)
-        out = eval_step(params, {k: ex[k] for k in ("v", "b", "q", "a")})
+        db = {k: ex[k] for k in ("v", "b", "q", "a")}
+        out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])
         groups = np.repeat(valid, NUM_CANDIDATES)
         # score only valid groups

@@ -1,11 +1,8 @@
-"""Parallelism package: re-exports the mesh/sharding layer.
+"""Parallelism layer: device mesh construction and data/tensor-parallel
+placement (the TPU-native replacement for the reference's vestigial
+distributed hooks, SURVEY.md §2.5)."""
 
-The actual implementation lives in :mod:`vqatpu.sharding` (the data-parallel
-axis, the 2-D data x model tensor-parallel layout, batch/param placement).
-This package name mirrors the conventional `models/ops/parallel` layout.
-"""
-
-from vqatpu.sharding import (
+from vqatpu.parallel.sharding import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,

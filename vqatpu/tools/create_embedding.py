@@ -85,29 +85,44 @@ def create_answer_embedding(dataroot: str, num_hid: int = 1024,
     return out
 
 
-def create_bert_embedding(dataroot: str,
-                          model_name: str = "bert-base-uncased") -> str:
-    """Per-vocab-word BERT pooled embeddings; requires ``transformers``."""
-    try:
-        import torch
-        from transformers import BertModel, BertTokenizer
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("transformers/torch unavailable for BERT embeddings") from e
+def bert_embedding_matrix(idx2word, model, tokenizer) -> np.ndarray:
+    """Per-word pooled-BERT embedding matrix
+    (``tools/create_bert_embedding.py:7-14``): each vocab word is tokenized
+    to wordpieces and its ``pooler_output`` becomes the row."""
+    import torch
 
-    from vqatpu.data.dictionary import Dictionary
-
-    tokenizer = BertTokenizer.from_pretrained(model_name)
-    model = BertModel.from_pretrained(model_name)
-    model.eval()
-    d = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
-    weights = np.zeros((len(d.idx2word), 768), np.float32)
+    hidden = int(model.config.hidden_size)
+    weights = np.zeros((len(idx2word), hidden), np.float32)
     with torch.no_grad():
-        for idx, word in enumerate(d.idx2word):
+        for idx, word in enumerate(idx2word):
             ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(word))
             if not ids:
                 continue
             out = model(torch.tensor([ids]))
-            weights[idx] = out.pooler_output[0].numpy()
+            pooled = out[1] if isinstance(out, tuple) else out.pooler_output
+            weights[idx] = pooled[0].numpy()
+    return weights
+
+
+def create_bert_embedding(dataroot: str,
+                          model_name: str = "bert-base-uncased",
+                          model=None, tokenizer=None) -> str:
+    """Per-vocab-word BERT pooled embeddings; ``model``/``tokenizer`` may be
+    injected (tests use a tiny random-init BertModel — no download)."""
+    if model is None or tokenizer is None:  # pragma: no cover — needs egress
+        try:
+            from transformers import BertModel, BertTokenizer
+        except ImportError as e:
+            raise RuntimeError(
+                "transformers unavailable for BERT embeddings") from e
+        tokenizer = tokenizer or BertTokenizer.from_pretrained(model_name)
+        model = model or BertModel.from_pretrained(model_name)
+
+    from vqatpu.data.dictionary import Dictionary
+
+    model.eval()
+    d = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
+    weights = bert_embedding_matrix(d.idx2word, model, tokenizer)
     out_path = os.path.join(dataroot, "bert_embedding.npy")
     np.save(out_path, weights)
     return out_path

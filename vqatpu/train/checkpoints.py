@@ -54,13 +54,19 @@ def load_params_any(input_dir: str, epoch, model) -> Any:
     ckpt = os.path.join(input_dir, f"model_epoch{epoch}.ckpt")
     if os.path.exists(ckpt):
         return load_checkpoint(ckpt)["params"]
+    orbax_dir = os.path.join(input_dir, f"model_epoch{epoch}.orbax")
+    if os.path.isdir(orbax_dir):
+        import orbax.checkpoint as ocp
+
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(orbax_dir))
+        return payload["params"]
     pth = os.path.join(input_dir, f"model_epoch{epoch}.pth")
     if os.path.exists(pth):
         from vqatpu.tools.import_torch import import_checkpoint
 
         return import_checkpoint(pth, model)
     raise FileNotFoundError(
-        f"no model_epoch{epoch}.ckpt or .pth under {input_dir}")
+        f"no model_epoch{epoch}.{{ckpt,orbax,pth}} under {input_dir}")
 
 
 def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:

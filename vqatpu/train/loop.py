@@ -22,8 +22,8 @@ from vqatpu.data.batching import BatchLoader
 from vqatpu.data.mc_dataset import expand_mc_batch
 from vqatpu.eval.ffoe import evaluate as evaluate_ffoe
 from vqatpu.eval.mc import evaluate_mc
-from vqatpu.sharding import make_mesh, replicate, shard_batch
-from vqatpu.train.checkpoints import save_checkpoint
+from vqatpu.parallel import make_mesh, replicate, shard_batch
+from vqatpu.train.checkpoints import save_checkpoint, save_checkpoint_orbax
 from vqatpu.train.logging import Logger, time_since
 from vqatpu.train.optim import lr_for_epoch
 from vqatpu.train.steps import TrainState, make_train_state, make_train_step
@@ -91,6 +91,10 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         lr = lr_for_epoch(cfg, epoch)
         if epoch < len(cfg.warmup_factors):
             logger.write("gradual warmup lr: %.8f" % lr)
+        elif epoch in range(cfg.lr_decay_start, cfg.lr_decay_end,
+                            cfg.lr_decay_step):
+            # the reference logs decay epochs distinctly (FFOE/train.py:66-67)
+            logger.write("decreased lr: %.8f" % lr)
         else:
             logger.write("lr: %.8f" % lr)
 
@@ -147,6 +151,10 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             if did_update and num_updates and num_updates % print_every == 0:
                 running = float(sum(jnp.asarray(m["loss"])
                                     for m in update_metrics))
+                # running / (num_updates + 1) reproduces the reference's own
+                # in-loop print (FFOE/train.py:89-90 divides total_loss by
+                # num_updates + 1); the epoch-end log line below divides by
+                # num_updates exactly as train.py:94 does.
                 print("Iter: {}, Loss {:.4f}, Norm: {:.4f}, Num updates: {},"
                       " Wall time: {:.2f}, ETA: {}".format(
                           i + 1, running / (num_updates + 1),
@@ -173,9 +181,11 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             # reference evaluates with a 2x batch (FFOE/main.py:146)
             eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
             if task == "mc":
-                eval_score, bound = evaluate_mc(model, state.params, eval_loader)
+                eval_score, bound = evaluate_mc(model, state.params,
+                                                eval_loader, mesh=mesh)
             else:
-                eval_score, bound = evaluate_ffoe(model, state.params, eval_loader)
+                eval_score, bound = evaluate_ffoe(model, state.params,
+                                                  eval_loader, mesh=mesh)
 
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"
@@ -187,10 +197,23 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                          % (100 * eval_score, 100 * bound))
 
         if epoch >= cfg.saving_epoch:
-            save_checkpoint(os.path.join(output, f"model_epoch{epoch}.ckpt"),
-                            state, epoch)
+            _save_ckpt(output, f"model_epoch{epoch}", state, epoch,
+                       cfg.ckpt_backend)
             if eval_ds is not None and eval_score > best_eval:
-                save_checkpoint(os.path.join(output, "model_epoch_best.ckpt"),
-                                state, epoch)
+                _save_ckpt(output, "model_epoch_best", state, epoch,
+                           cfg.ckpt_backend)
                 best_eval = eval_score
     return state
+
+
+def _save_ckpt(output: str, name: str, state: TrainState, epoch: int,
+               backend: str) -> None:
+    if backend == "orbax":
+        import shutil
+
+        path = os.path.join(output, name + ".orbax")
+        if os.path.exists(path):  # orbax refuses to overwrite (the 'best' slot)
+            shutil.rmtree(path)
+        save_checkpoint_orbax(path, state, epoch)
+    else:
+        save_checkpoint(os.path.join(output, name + ".ckpt"), state, epoch)
