@@ -140,3 +140,34 @@ def test_fully_masked_sample_is_finite(rng):
     out, att = m.apply(p, batch)
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_array_equal(np.asarray(att)[0], 0.0)
+
+
+def test_fused_v_tucker_eval_parity_and_grads(rng):
+    """fused_v_tucker=True must be bit-identical to the unfused path in eval
+    mode (same weight-norm GEMMs, concatenated), and train-mode grads must
+    reach every v_tucker param through the fused GEMM."""
+    import dataclasses
+
+    cfg = tiny_cfg(model="cti", fused_v_tucker=True)
+    m_fused = build_model(cfg)
+    m_plain = build_model(dataclasses.replace(cfg, fused_v_tucker=False))
+    m_remat = build_model(dataclasses.replace(cfg, remat_glimpse=True))
+    p = m_fused.init(jax.random.PRNGKey(3))
+    batch = tiny_batch(rng)
+
+    lf, _ = m_fused.apply(p, batch)
+    lp, _ = m_plain.apply(p, batch)
+    lr, _ = m_remat.apply(p, batch)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lp), atol=1e-5)
+
+    def loss(pp):
+        ctx = Ctx(train=True, rng=jax.random.PRNGKey(7))
+        logits, _ = m_fused.apply(pp, batch, ctx)
+        return (logits ** 2).sum()
+
+    g = jax.grad(loss)(p)
+    for name in ["t_att", "t_net0", "t_net1"]:
+        sub = g[name]["tc"] if name == "t_att" else g[name]
+        gv = np.asarray(sub["v_tucker"]["l0"]["v"])
+        assert np.isfinite(gv).all() and np.abs(gv).sum() > 0, name

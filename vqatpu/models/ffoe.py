@@ -240,14 +240,32 @@ class CTIModel:
         if blockwise:
             return self._apply_blockwise(p, v, q_state, a_state, v_mask, ctx)
 
-        att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask, ctx)
+        # One GEMM for every v-side tucker (attention + gamma glimpses): v is
+        # read from HBM once and one dropout mask is drawn instead of 1+gamma
+        # (see ModelConfig.fused_v_tucker).  Skipped under remat_glimpse —
+        # fused activations would be stored as checkpoint inputs, defeating
+        # the remat memory saving.
+        fused = self.cfg.fused_v_tucker and not self.cfg.remat_glimpse
+        if fused:
+            from vqatpu.ops.trilinear import fused_tucker_projection
 
-        def joint_fn(tp, v_, q_, a_, w_, sub_rng):
+            nets = [p["t_att"]["tc"]["v_tucker"]] + [
+                p[f"t_net{g}"]["v_tucker"] for g in range(self.cfg.gamma)]
+            v_ts = fused_tucker_projection(
+                nets, v, self.t_net.dropout[1], self.t_net.act, ctx)
+        else:
+            v_ts = [None] * (1 + self.cfg.gamma)
+
+        att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask,
+                                  ctx, v_t=v_ts[0])
+
+        def joint_fn(tp, v_, q_, a_, w_, sub_rng, v_t=None):
             # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace
             # replays the identical key stream (a closed-over Ctx counter
             # would advance during the extra trace and shift the masks)
             sub_ctx = None if sub_rng is None else Ctx(train=True, rng=sub_rng)
-            return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, sub_ctx)
+            return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, sub_ctx,
+                                                 v_t=v_t)
 
         if self.cfg.remat_glimpse:
             # don't store the [B, V, d] tucker activations for backward —
@@ -257,7 +275,7 @@ class CTIModel:
         for g in range(self.cfg.gamma):
             sub_rng = ctx.dropout_key() if (ctx is not None and ctx.train) else None
             joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, att[..., g],
-                             sub_rng)
+                             sub_rng, v_t=v_ts[1 + g])
             q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
 

@@ -104,8 +104,9 @@ class TriAttention:
         return {"tc": self.tc.init(key)}
 
     def apply(self, p, v, q, a, v_mask: Optional[jnp.ndarray] = None,
-              ctx: Optional[Ctx] = None):
-        logits = self.tc.apply(p["tc"], v, q, a, ctx)  # [B,V,Q,A,G]
+              ctx: Optional[Ctx] = None,
+              v_t: Optional[jnp.ndarray] = None):
+        logits = self.tc.apply(p["tc"], v, q, a, ctx, v_t=v_t)  # [B,V,Q,A,G]
         if v_mask is None:
             v_mask = box_mask_from_features(v)
         mask5 = v_mask[:, :, None, None, None]

@@ -43,6 +43,23 @@ class Ctx:
         return jax.random.fold_in(self.rng, self._counter)
 
 
+def fast_rng(key: jax.Array) -> jax.Array:
+    """Re-wrap a PRNG key for the ``rbg`` implementation (XLA
+    RngBitGenerator -> the TPU hardware RNG).
+
+    Dropout masks dominate the train step's RNG cost under the default
+    threefry (measured 2.97 ms/step of pure mask generation at CTI reference
+    shapes, ~17% of the step); rbg generates the same ~95M mask bits nearly
+    for free.  rbg is a deterministic, well-distributed generator — it only
+    lacks threefry's key-derivation guarantees, which dropout does not need.
+    ``fold_in``/``split`` on the wrapped key still use threefry on the (tiny)
+    key words, so the Ctx counter stream stays deterministic."""
+    data = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+    if data.shape[-1] == 2:  # threefry2x32 words -> the 4 words rbg wants
+        data = jnp.concatenate([data, data], axis=-1)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
     """Inverted dropout matching ``torch.nn.Dropout`` semantics."""
     if rate <= 0.0 or ctx is None or not ctx.train:

@@ -38,6 +38,36 @@ from vqatpu.ops.module import Ctx, config
 RANK_NET_GATE = 1024  # reference `if self.h_dim < 1024` (tc.py:27)
 
 
+def fused_tucker_projection(nets, x, rate: float, act: str, ctx):
+    """Run several single-layer weight-norm tucker FCNets over the SAME
+    input as ONE GEMM.
+
+    ``nets`` is a list of FCNet param trees (each ``{"l0": {"v","g","b"}}``
+    with identical in_dim / activation / dropout rate).  The input is read
+    from HBM once and one dropout mask is drawn instead of len(nets)
+    independent ones (see ModelConfig.fused_v_tucker for the semantics
+    note).  Returns the per-net outputs, split back out.
+
+    Reference shape: each net is a ``tc.py:22-25`` tucker FCNet; in CTI the
+    v-side ones all consume the [B, V, 2048] features, so the naive path
+    costs 3x the HBM reads and 3x the mask RNG of this fused one.
+    """
+    from vqatpu.ops.activation import get_activation
+    from vqatpu.ops.module import dropout as _dropout
+
+    ls = [n["l0"] for n in nets]
+    ws = [(l["g"] / jnp.linalg.norm(l["v"].reshape(-1))) * l["v"] for l in ls]
+    w_all = jnp.concatenate(ws, axis=0)                # [sum(d_i), in_dim]
+    b_all = jnp.concatenate([l["b"] for l in ls])
+    xd = _dropout(x, rate, ctx)
+    out = get_activation(act)(xd @ w_all.T + b_all)
+    sizes = [w.shape[0] for w in ws]
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    return [out[..., offs[i]:offs[i + 1]] for i in range(len(sizes))]
+
+
 @config
 class TCNet:
     v_dim: int
@@ -126,11 +156,16 @@ class TCNet:
         out = get_activation(self.act)(x @ w_all.T + b_all)
         return out.reshape(x.shape[0], x.shape[1], self.rank, self.h_sub)
 
-    def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None):
+    def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None,
+                         v_t: Optional[jnp.ndarray] = None):
         """Tucker + per-rank projections: -> (v_r [B,V,R,x], q_r, a_r,
-        T [R,x,y,z,G]) — the operands of the PARALIND contraction."""
+        T [R,x,y,z,G]) — the operands of the PARALIND contraction.
+
+        ``v_t`` supplies an externally fused v-tucker activation (see
+        :func:`fused_tucker_projection`)."""
         assert self.has_rank_nets, "rank projections need the rank-net regime"
-        v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        if v_t is None:
+            v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
         q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
         v_r = self._rank_project(p["v_net"], v_t, self.dropout[1], ctx)
@@ -139,12 +174,13 @@ class TCNet:
         T = p["T_g"][..., 0] if self.ho_dim == 1 else p["T_g"].sum(-1)
         return v_r, q_r, a_r, T
 
-    def apply(self, p, v, q, a, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+    def apply(self, p, v, q, a, ctx: Optional[Ctx] = None,
+              v_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Attention logits [B, V, Q, A, glimpse] (h_out==1 squeezed away,
         matching ``f_emb.squeeze(4)`` in ``tc.py:52``)."""
         from vqatpu.kernels.trilinear import attention_logits_xla
 
-        v_r, q_r, a_r, T = self.rank_projections(p, v, q, a, ctx)
+        v_r, q_r, a_r, T = self.rank_projections(p, v, q, a, ctx, v_t=v_t)
         # Optimized contraction order (smallest intermediates, final step an
         # MXU GEMM over rank*h_sub) lives in vqatpu.kernels.trilinear.
         return attention_logits_xla(v_r, q_r, a_r, T)
@@ -156,12 +192,14 @@ class TCNet:
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
         return v_t, q_t, a_t
 
-    def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+    def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None,
+                           v_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Fused joint embedding with attention ``w`` [B, V, Q, A] -> [B, d]
         (``tc.py:54-61``)."""
         from vqatpu.kernels.trilinear import trilinear_pool
 
-        v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        if v_t is None:
+            v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
         q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
         return trilinear_pool(v_t, q_t, a_t, w, backend=self.backend)

@@ -52,12 +52,18 @@ def adamax(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.Gradi
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def adamax_with_lr() -> optax.GradientTransformation:
+def adamax_with_lr(trainable=None) -> optax.GradientTransformation:
     """Adamax whose per-step LR arrives via ``optax.inject_hyperparams`` —
-    the epoch schedule is driven from the host loop like the reference."""
+    the epoch schedule is driven from the host loop like the reference.
+
+    ``trainable``: optional params->bool-pytree fn; frozen leaves get no
+    m/u state (``optax.masked``).  Their updates pass through unscaled by
+    Adamax, so callers must zero frozen grads (the train step does)."""
+    inner = (adamax() if trainable is None
+             else optax.masked(adamax(), trainable))
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
-            adamax(), optax.scale_by_learning_rate(learning_rate)
+            inner, optax.scale_by_learning_rate(learning_rate)
         )
     )(learning_rate=1e-3)
 

@@ -69,8 +69,13 @@ def mask_grads(grads, mask):
     )
 
 
-def make_optimizer():
-    return adamax_with_lr()
+def make_optimizer(trainable=None):
+    """``trainable`` is an optional params->bool-pytree fn; when given, the
+    Adamax m/u state is simply not allocated for frozen leaves
+    (``optax.masked``) — matching torch, which keeps no optimizer state for
+    ``requires_grad=False`` params (``language_model.py:21-24``), and saving
+    the frozen GloVe copy's share of the update's HBM traffic."""
+    return adamax_with_lr(trainable)
 
 
 def cast_floats(tree, dtype):
@@ -81,9 +86,16 @@ def cast_floats(tree, dtype):
     )
 
 
+def _frozen_mask_fn(model, tfidf_loaded: bool):
+    """params->trainable-bool-pytree fn, or None when nothing is frozen."""
+    if "c" in model.cfg.op and not tfidf_loaded:
+        return lambda p: trainable_mask(p, tfidf_loaded)
+    return None
+
+
 def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False) -> TrainState:
     params = model.init(key)
-    tx = make_optimizer()
+    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded))
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -102,11 +114,14 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
     ``mc_scoring`` switches batch_score to 4-candidate group accuracy
     (``MC/train.py:14-19``) for the x4-expanded MC batches.
     """
-    tx = make_optimizer()
+    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded))
     distill = cfg.distillation and model.cfg.model in ("ban", "san")
     half = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def loss_fn(params, batch, rng):
+        if cfg.rng_impl == "rbg":
+            from vqatpu.ops.module import fast_rng
+            rng = fast_rng(rng)
         ctx = Ctx(train=True, rng=rng)
         if half is not None:
             # bf16 activations/params in the forward+backward; f32 master
