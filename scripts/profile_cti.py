@@ -36,6 +36,12 @@ from vqatpu.train.steps import make_train_state, make_train_step
 B, V, Q, A = 256, 50, 12, 3
 
 
+def _gsum(g):
+    """Consume EVERY grad leaf so XLA cannot dead-code-eliminate any branch
+    of the backward pass (summing one leaf lets whole grad subtrees drop)."""
+    return sum(x.sum() for x in jax.tree.leaves(g)) * 1e-20
+
+
 def timed(name, fn, *args, iters=30):
     """fn(carry, i, *args) -> scalar carry. Times the chained loop."""
     fn = jax.jit(fn)
@@ -74,6 +80,18 @@ def main():
     # --- full train step (the bench number) ---
     if want("step"):
         _time_full_step(model, tcfg, batch, key)
+    if want("dtype"):
+        import dataclasses
+        for dt in ("float32", "bfloat16"):
+            print(f"--- compute_dtype={dt}", flush=True)
+            _time_full_step(model, dataclasses.replace(tcfg, compute_dtype=dt),
+                            batch, key)
+    if want("kb"):
+        import dataclasses
+        for kb in ("xla", "pallas"):
+            m = build_model(dataclasses.replace(cfg, kernel_backend=kb))
+            print(f"--- kernel_backend={kb}", flush=True)
+            _time_full_step(m, tcfg, batch, key)
     if want("ab"):
         # fused vs unfused v-tucker, same process (fair tunnel conditions)
         import dataclasses
@@ -117,7 +135,7 @@ def _rest(model, tcfg, batch, key, params):
 
     def fwd_bwd(c, i, p):
         loss, g = jax.value_and_grad(loss_fn)(p, c * 1e-20)
-        return loss * 1e-9 + jax.tree.leaves(g)[0].sum() * 1e-20
+        return loss * 1e-9 + _gsum(g)
 
     if want("loss"):
         timed("loss fwd+bwd (no optimizer)", fwd_bwd, params)
@@ -150,7 +168,7 @@ def _rest(model, tcfg, batch, key, params):
 
     def gru_fb(c, i, p):
         l, g = jax.value_and_grad(gru_loss)(p, c * 1e-20)
-        return l + jax.tree.leaves(g)[0].sum() * 1e-20
+        return l + _gsum(g)
 
     if want("gru"):
         timed("GRU q+a encoders fwd+bwd", gru_fb, params)
@@ -173,7 +191,7 @@ def _rest(model, tcfg, batch, key, params):
     def att_fb(c, i, p):
         l, g = jax.value_and_grad(att_loss, argnums=(0, 1))(
             p, v, c * 1e-20, i)
-        return l + jax.tree.leaves(g)[0].sum() * 1e-20
+        return l + _gsum(g)
 
     if want("att"):
         timed("TriAttention fwd+bwd (proj+chain+softmax)", att_fb, params["t_att"])
@@ -188,7 +206,7 @@ def _rest(model, tcfg, batch, key, params):
 
     def proj_fb(c, i, p):
         l, g = jax.value_and_grad(proj_loss, argnums=(0, 1))(p, v, c * 1e-20, i)
-        return l + jax.tree.leaves(g)[0].sum() * 1e-20
+        return l + _gsum(g)
 
     if want("proj"):
         timed("  tucker+rank projections fwd+bwd", proj_fb, params["t_att"]["tc"])
@@ -207,7 +225,7 @@ def _rest(model, tcfg, batch, key, params):
     def chain_fb(c, i, *ops):
         l, g = jax.value_and_grad(chain_loss, argnums=(0, 1, 2, 3))(
             *ops, c * 1e-20)
-        return l + g[0].sum() * 1e-20
+        return l + _gsum(g)
 
     if want("chain"):
         timed("  PARALIND chain+softmax fwd+bwd", chain_fb, v_r, q_r, a_r, T)
@@ -226,7 +244,7 @@ def _rest(model, tcfg, batch, key, params):
     def joint_fb(c, i, p):
         l, g = jax.value_and_grad(joint_loss, argnums=(0, 1, 2))(
             p, v, w_g, c * 1e-20, i)
-        return l + jax.tree.leaves(g)[0].sum() * 1e-20
+        return l + _gsum(g)
 
     if want("joint"):
         timed("t_net joint embed fwd+bwd (x1 glimpse)", joint_fb, params["t_net0"])
@@ -244,7 +262,7 @@ def _rest(model, tcfg, batch, key, params):
     def clf_fb(c, i, p):
         l, g = jax.value_and_grad(clf_loss, argnums=(0, 1))(
             p, pooled, c * 1e-20, i)
-        return l * 1e-6 + jax.tree.leaves(g)[0].sum() * 1e-20
+        return l * 1e-6 + _gsum(g)
 
     if want("clf"):
         timed("classifier+BCE fwd+bwd", clf_fb, params["classifier"])
@@ -280,15 +298,16 @@ def _rest(model, tcfg, batch, key, params):
 
     # --- adamax update alone ---
     tx_state = make_train_state(model, jax.random.PRNGKey(0))
-    from vqatpu.train.optim import adamax_with_lr, clip_flat_grads
-    tx = adamax_with_lr()
+    from vqatpu.train.optim import clip_flat_grads
+    from vqatpu.train.steps import _frozen_mask_fn, make_optimizer
+    tx = make_optimizer(_frozen_mask_fn(model, False))
     grads = jax.tree.map(lambda x: x * 1e-3, params)
 
     def adamax_step(c, i, p, os, g):
         g2 = jax.tree.map(lambda x: x + c * 1e-20, g)
         g2, norm = clip_flat_grads(g2, 0.25)
         updates, _ = tx.update(g2, os, p)
-        return norm * 1e-6 + jax.tree.leaves(updates)[0].sum() * 1e-20
+        return norm * 1e-6 + _gsum(updates)
 
     if want("adamax"):
         timed("clip+adamax update alone", adamax_step, params,

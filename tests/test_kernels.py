@@ -109,3 +109,52 @@ def test_cti_model_backend_equivalence(rng):
         got, att_p = m_p.apply(p, batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
     np.testing.assert_allclose(np.asarray(att_p), np.asarray(att_x), atol=1e-5)
+
+
+def test_fused_rank_softmax_matches_xla(tri_inputs):
+    """The fused GEMM+softmax kernel (VERDICT r1 #9) == logits einsum +
+    masked softmax, values and gradients."""
+    from vqatpu.kernels.blockwise import precontract_qa
+    from vqatpu.kernels.trilinear import fused_rank_softmax
+
+    v_r, q_r, a_r, T, mask = tri_inputs
+    tqa = precontract_qa(q_r, a_r, T)
+    want = masked_softmax_vqa_xla(attention_logits_xla(v_r, q_r, a_r, T), mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_rank_softmax(v_r, tqa, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got)[:, 8:], 0.0)
+
+    tgt = jnp.asarray(np.random.RandomState(5).rand(B, V, Q, A, G).astype(np.float32))
+
+    def loss_xla(vr, qa):
+        att = masked_softmax_vqa_xla(
+            jnp.einsum("birx,bjlrxg->bijlg", vr, qa), mask)
+        return ((att - tgt) ** 2).sum()
+
+    def loss_pallas(vr, qa):
+        return ((fused_rank_softmax(vr, qa, mask) - tgt) ** 2).sum()
+
+    gw = jax.grad(loss_xla, argnums=(0, 1))(v_r, tqa)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(v_r, tqa)
+    for a_, b_ in zip(gp, gw):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=1e-4)
+
+
+def test_tri_attention_fused_path_full(tri_inputs, rng):
+    """TriAttention(backend=pallas, return_logits=False) == xla backend."""
+    from vqatpu.ops.attention import TriAttention
+
+    v = jnp.asarray(rng.randn(B, V, 16).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, Q, 24).astype(np.float32))
+    a = jnp.asarray(rng.randn(B, A, 24).astype(np.float32))
+    mask = jnp.asarray(np.arange(V)[None] < 8).repeat(B, 0)
+    att_x = TriAttention(16, 24, 24, 16, 1, 4, G, 1, backend="xla")
+    att_p = TriAttention(16, 24, 24, 16, 1, 4, G, 1, backend="pallas")
+    p = att_x.init(jax.random.PRNGKey(2))
+    want, _ = att_x.apply(p, v, q, a, mask)
+    with pltpu.force_tpu_interpret_mode():
+        got, none_logits = att_p.apply(p, v, q, a, mask, return_logits=False)
+    assert none_logits is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

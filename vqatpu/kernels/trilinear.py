@@ -150,6 +150,92 @@ def trilinear_attention(v_r, q_r, a_r, T, v_mask, backend: str = "xla"):
 
 
 # ---------------------------------------------------------------------------
+# Pallas: fused rank-contraction GEMM + masked softmax (VERDICT r1 #9)
+# ---------------------------------------------------------------------------
+
+def _rank_softmax_kernel(V, QA):
+    def kernel(vr_ref, w_ref, mask_ref, out_ref):
+        # vr [1, V, RX]; w [1, 1, RX, QA]; mask [1, V, 1]; out [1, 1, V, QA]
+        # One program per (batch, glimpse): the final PARALIND contraction is
+        # a single [V, RX] x [RX, QA] MXU GEMM whose result never leaves
+        # VMEM — max/exp/sum/divide happen in place (the XLA path round-trips
+        # the [B, V, Q, A, G] logits through HBM between the einsum and the
+        # softmax).  All ops 2-D per the Mosaic notes in the module docstring.
+        vr = vr_ref[0]                       # [V, RX]
+        w = w_ref[0, 0]                      # [RX, QA]
+        logits = jnp.dot(vr, w, preferred_element_type=jnp.float32)
+        mask2 = mask_ref[0]                  # [V, 1]
+        neg = jnp.where(mask2 > 0, logits, jnp.float32(NEG_BIG))
+        m = jnp.max(neg)
+        e = jnp.exp(neg - m) * mask2
+        den = jnp.maximum(jnp.sum(e), 1e-30)
+        out_ref[0, 0] = e / den
+    return kernel
+
+
+def _rank_softmax_forward(v_r, tqa, v_mask):
+    B, V, R, X = v_r.shape
+    Q, A, G = tqa.shape[1], tqa.shape[2], tqa.shape[-1]
+    RX = R * X
+    vr2 = v_r.reshape(B, V, RX)
+    # tqa [B, Q, A, R, X, G] -> per-(b, g) GEMM weights [B, G, RX, Q*A]
+    w = jnp.transpose(tqa, (0, 5, 3, 4, 1, 2)).reshape(B, G, RX, Q * A)
+    out = pl.pallas_call(
+        _rank_softmax_kernel(V, Q * A),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, V, RX), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RX, Q * A), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, 1), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, V, Q * A), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, V, Q * A), jnp.float32),
+    )(vr2, w, v_mask.astype(jnp.float32)[:, :, None])
+    return jnp.transpose(out.reshape(B, G, V, Q, A), (0, 2, 3, 4, 1))
+
+
+@jax.custom_vjp
+def fused_rank_softmax(v_r, tqa, v_mask):
+    """att [B,V,Q,A,G] = masked softmax over (V,Q,A) of the rank contraction
+    ``einsum('birx,bjlrxg->bijlg', v_r, tqa)``, with the GEMM and softmax
+    fused in one Pallas program per (batch, glimpse)."""
+    return _rank_softmax_forward(v_r, tqa, v_mask)
+
+
+def _rank_softmax_fwd(v_r, tqa, v_mask):
+    att = _rank_softmax_forward(v_r, tqa, v_mask)
+    return att, (att, v_r, tqa)
+
+
+def _rank_softmax_bwd(res, g):
+    att, v_r, tqa = res
+    # softmax bwd (masked entries have att == 0, so dl == 0 there), then the
+    # GEMM transposes — all MXU-shaped einsums
+    dot = jnp.sum(g * att, axis=(1, 2, 3), keepdims=True)
+    dl = att * (g - dot)                               # [B,V,Q,A,G]
+    dv = jnp.einsum("bijlg,bjlrxg->birx", dl, tqa)
+    dtqa = jnp.einsum("bijlg,birx->bjlrxg", dl, v_r)
+    return dv, dtqa, None
+
+
+fused_rank_softmax.defvjp(_rank_softmax_fwd, _rank_softmax_bwd)
+
+
+def trilinear_attention_fused(v_r, q_r, a_r, T, v_mask):
+    """Full pallas-backend trilinear attention: XLA for the (tiny-operand)
+    q/a/T precontraction, the fused Pallas GEMM+softmax for the V-sized
+    rest.  Returns only the attention (no logits materialized in HBM)."""
+    from vqatpu.kernels.blockwise import precontract_qa
+
+    tqa = precontract_qa(q_r, a_r, T)
+    return fused_rank_softmax(v_r, tqa, v_mask)
+
+
+# ---------------------------------------------------------------------------
 # Pallas: fused weighted trilinear pooling
 # ---------------------------------------------------------------------------
 

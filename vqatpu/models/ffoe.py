@@ -257,7 +257,7 @@ class CTIModel:
             v_ts = [None] * (1 + self.cfg.gamma)
 
         att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask,
-                                  ctx, v_t=v_ts[0])
+                                  ctx, v_t=v_ts[0], return_logits=False)
 
         def joint_fn(tp, v_, q_, a_, w_, sub_rng, v_t=None):
             # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace

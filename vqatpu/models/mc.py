@@ -189,7 +189,8 @@ class TanModel:
         wa = self.w_emb.apply(p["wa_emb"], a, ctx)
         a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
 
-        att, _ = self.v_att.apply(p["v_att"], v, q_state, a_state, v_mask, ctx)
+        att, _ = self.v_att.apply(p["v_att"], v, q_state, a_state, v_mask, ctx,
+                                  return_logits=False)
         for g in range(self.cfg.gamma):
             joint = self.t_net.apply_with_weights(
                 p[f"t_net{g}"], v, q_state, a_state, att[..., g], ctx

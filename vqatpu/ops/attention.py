@@ -105,10 +105,20 @@ class TriAttention:
 
     def apply(self, p, v, q, a, v_mask: Optional[jnp.ndarray] = None,
               ctx: Optional[Ctx] = None,
-              v_t: Optional[jnp.ndarray] = None):
-        logits = self.tc.apply(p["tc"], v, q, a, ctx, v_t=v_t)  # [B,V,Q,A,G]
+              v_t: Optional[jnp.ndarray] = None,
+              return_logits: bool = True):
+        """``return_logits=False`` lets the pallas backend run the fully
+        fused rank-contraction+softmax kernel (the [B,V,Q,A,G] logits never
+        reach HBM); both in-repo consumers discard the logits."""
         if v_mask is None:
             v_mask = box_mask_from_features(v)
+        if self.backend == "pallas" and not return_logits:
+            from vqatpu.kernels.trilinear import trilinear_attention_fused
+
+            v_r, q_r, a_r, T = self.tc.rank_projections(p["tc"], v, q, a,
+                                                        ctx, v_t=v_t)
+            return trilinear_attention_fused(v_r, q_r, a_r, T, v_mask), None
+        logits = self.tc.apply(p["tc"], v, q, a, ctx, v_t=v_t)  # [B,V,Q,A,G]
         mask5 = v_mask[:, :, None, None, None]
         if self.backend == "pallas":
             from vqatpu.kernels.trilinear import _masked_softmax_pallas_vjp
