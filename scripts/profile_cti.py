@@ -81,11 +81,27 @@ def main():
     if want("step"):
         _time_full_step(model, tcfg, batch, key)
     if want("dtype"):
+        # interleaved A/B (the shared tunnel drifts on minute scales, so
+        # sequential one-shot comparisons are unreliable): compile both once,
+        # then alternate timing windows
         import dataclasses
+        runners = {}
         for dt in ("float32", "bfloat16"):
-            print(f"--- compute_dtype={dt}", flush=True)
-            _time_full_step(model, dataclasses.replace(tcfg, compute_dtype=dt),
-                            batch, key)
+            st = make_train_state(model, jax.random.PRNGKey(0))
+            stp = make_train_step(model, dataclasses.replace(tcfg,
+                                                             compute_dtype=dt))
+            st, mm = stp(st, batch, jnp.float32(1e-3), key)
+            float(np.asarray(mm["loss"]))
+            runners[dt] = [st, stp]
+        for rep in range(4):
+            for dt, r in runners.items():
+                t0 = time.perf_counter()
+                for i in range(30):
+                    r[0], mm = r[1](r[0], batch, jnp.float32(1e-3),
+                                    jax.random.fold_in(key, i))
+                float(np.asarray(mm["loss"]))
+                dtm = (time.perf_counter() - t0) / 30
+                print(f"rep{rep} {dt:10s} {dtm * 1e3:8.3f} ms", flush=True)
     if want("kb"):
         import dataclasses
         for kb in ("xla", "pallas"):
