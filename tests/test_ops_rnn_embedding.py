@@ -101,3 +101,23 @@ def test_word_embedding_load_pretrained(rng):
     np.testing.assert_allclose(
         np.asarray(p2["emb_"][:ntoken]), tfidf @ glove, rtol=1e-5
     )
+
+
+def test_gru_dual_scan_matches_separate(rng):
+    """gru_dual_apply_all (q+a streams in one scan) == two separate scans."""
+    import jax
+    import jax.numpy as jnp
+    from vqatpu.ops.rnn import QuestionEmbedding, gru_dual_apply_all
+
+    emb = QuestionEmbedding(20, 16)
+    p_q = emb.init(jax.random.PRNGKey(0))
+    p_a = emb.init(jax.random.PRNGKey(1))
+    x_q = jnp.asarray(rng.randn(4, 12, 20).astype(np.float32))
+    x_a = jnp.asarray(rng.randn(4, 3, 20).astype(np.float32))
+    want_q = emb.apply_all(p_q, x_q)
+    want_a = emb.apply_all(p_a, x_a)
+    got_q, got_a = gru_dual_apply_all(p_q["fwd"], p_a["fwd"], x_q, x_a, 16)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               atol=1e-6)
