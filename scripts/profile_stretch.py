@@ -32,6 +32,7 @@ VARIANTS = {
     "remat": {"remat_glimpse": True},
     "fused_remat": {"fused_v_tucker": True, "remat_glimpse": True},
     "blockwise": {"v_block_size": 512},
+    "pallas": {"kernel_backend": "pallas"},
 }
 
 

@@ -158,3 +158,20 @@ def test_tri_attention_fused_path_full(tri_inputs, rng):
         got, none_logits = att_p.apply(p, v, q, a, mask, return_logits=False)
     assert none_logits is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tri_pool_blocked_grid(rng):
+    """Pool kernel streams V in blocks (grid accumulation + zero padding):
+    V > POOL_V_BLOCK must equal the XLA path."""
+    from vqatpu.kernels import trilinear as K
+
+    Vbig = K.POOL_V_BLOCK + 37  # forces 2 blocks with a ragged tail
+    vt = jnp.asarray(rng.randn(2, Vbig, D).astype(np.float32))
+    qt = jnp.asarray(rng.randn(2, Q, D).astype(np.float32))
+    at = jnp.asarray(rng.randn(2, A, D).astype(np.float32))
+    w = jnp.asarray(rng.rand(2, Vbig, Q, A).astype(np.float32))
+    want = trilinear_pool_xla(vt, qt, at, w)
+    with pltpu.force_tpu_interpret_mode():
+        got = trilinear_pool_pallas(vt, qt, at, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-2)

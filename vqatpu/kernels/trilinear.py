@@ -239,21 +239,28 @@ def trilinear_attention_fused(v_r, q_r, a_r, T, v_mask):
 # Pallas: fused weighted trilinear pooling
 # ---------------------------------------------------------------------------
 
-def _tri_pool_kernel(V, Q, A, D):
+def _tri_pool_kernel(Vb, Q, A, D):
     def kernel(vt_ref, qt_ref, at_ref, w_ref, out_ref):
-        # vt [1,V,D], qt [1,Q,D], at [1,A,D], w [1,A,V,Q], out [1,1,D]
+        # vt [1,Vb,D], qt [1,Q,D], at [1,A,D], w [1,A,Vb,Q], out [1,1,D]
+        # Grid (B, V//Vb): the V axis streams through in blocks, accumulating
+        # into the revisited out block (keeps per-program VMEM O(Vb) — the
+        # whole-V variant blew the 16 MB scoped-vmem limit at V=2048).
         # Statically unrolled over the tiny A axis so every op is a clean
         # 2-D dot / elementwise — no in-kernel reshapes (Mosaic miscompiles
         # sublane-misaligned splits like [V*Q, D] -> [V, Q, D]).
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
         vt = vt_ref[0]
         qt = qt_ref[0]
         acc = jnp.zeros((1, D), jnp.float32)
         for l in range(A):
-            w_l = w_ref[0, l]  # [V, Q]
-            z_l = jnp.dot(w_l, qt, preferred_element_type=jnp.float32)  # [V, D]
+            w_l = w_ref[0, l]  # [Vb, Q]
+            z_l = jnp.dot(w_l, qt, preferred_element_type=jnp.float32)  # [Vb, D]
             s_l = (vt * z_l).sum(axis=0, keepdims=True)  # [1, D]
             acc = acc + at_ref[0, pl.ds(l, 1)] * s_l
-        out_ref[0] = acc
+        out_ref[0] = out_ref[0] + acc
     return kernel
 
 
@@ -262,24 +269,40 @@ def trilinear_pool_pallas(vt, qt, at, w):
     return _tri_pool_forward(vt, qt, at, w)
 
 
+POOL_V_BLOCK = 256
+
+
 def _tri_pool_forward(vt, qt, at, w):
     B, V, D = vt.shape
     Q = qt.shape[1]
     A = at.shape[1]
+    Vb = min(V, POOL_V_BLOCK)
+    n_blocks = -(-V // Vb)
+    pad = n_blocks * Vb - V
+    wt = jnp.transpose(w, (0, 3, 1, 2))  # [B, A, V, Q]
+    if pad:
+        # zero-padded boxes contribute nothing (their w rows are zero)
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((B, pad, D), vt.dtype)], axis=1)
+        wt = jnp.concatenate(
+            [wt, jnp.zeros((B, A, pad, Q), wt.dtype)], axis=2)
     out = pl.pallas_call(
-        _tri_pool_kernel(V, Q, A, D),
-        grid=(B,),
+        _tri_pool_kernel(Vb, Q, A, D),
+        grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, V, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, V, Q), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Vb, D), lambda b, vb: (b, vb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), lambda b, vb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, D), lambda b, vb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, Vb, Q), lambda b, vb: (b, 0, vb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, vb: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-    )(vt, qt, at, jnp.transpose(w, (0, 3, 1, 2)))
+    )(vt, qt, at, wt)
     return out[:, 0, :]
 
 
