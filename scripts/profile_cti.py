@@ -246,6 +246,39 @@ def _rest(model, tcfg, batch, key, params):
     if want("chain"):
         timed("  PARALIND chain+softmax fwd+bwd", chain_fb, v_r, q_r, a_r, T)
 
+    if want("chain2"):
+        # interleaved A/B: standard chain vs block-diagonal-T first step
+        from vqatpu.kernels.trilinear import (attention_logits_blockdiag,
+                                              attention_logits_xla)
+
+        def mk(fn):
+            def loss(vr, qr, ar, t, c):
+                from vqatpu.kernels.trilinear import masked_softmax_vqa_xla
+                att = masked_softmax_vqa_xla(fn(vr + c, qr, ar, t), v_mask)
+                return att.sum() * 1e-6
+
+            def fb(c, i, *ops):
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    *ops, c * 1e-20)
+                return l + _gsum(g)
+            return fb
+
+        fns = {"std": jax.jit(mk(attention_logits_xla)),
+               "bd": jax.jit(mk(attention_logits_blockdiag))}
+        for name, f in fns.items():
+            c = f(jnp.float32(0.0), 0, v_r, q_r, a_r, T)
+            float(np.asarray(c))
+        for rep in range(3):
+            for name, f in fns.items():
+                c = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for i in range(30):
+                    c = f(c, i, v_r, q_r, a_r, T)
+                float(np.asarray(c))
+                print(f"rep{rep} chain-{name:4s} "
+                      f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
+                      flush=True)
+
     # --- per-glimpse joint embedding fwd+bwd ---
     t_net = model.t_net
 

@@ -35,6 +35,10 @@ def test_attention_order_matches_naive(tri_inputs):
     want = jnp.einsum("birx,bjry,blrz,rxyzg->bijlg", v_r, q_r, a_r, T)
     got = attention_logits_xla(v_r, q_r, a_r, T)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # the measured-slower block-diag variant (PROFILE.md) stays correct
+    from vqatpu.kernels.trilinear import attention_logits_blockdiag
+    got_bd = attention_logits_blockdiag(v_r, q_r, a_r, T)
+    np.testing.assert_allclose(np.asarray(got_bd), np.asarray(want), atol=2e-4)
 
 
 def test_pallas_softmax_matches_xla(tri_inputs):

@@ -58,6 +58,24 @@ def attention_logits_xla(v_r, q_r, a_r, T):
     return jnp.einsum("birx,bjlrxg->bijlg", v_r, tqa)
 
 
+def attention_logits_blockdiag(v_r, q_r, a_r, T):
+    """Variant of :func:`attention_logits_xla` whose first mode product runs
+    as ONE dense GEMM against a block-diagonal expansion of T.
+
+    The standard path contracts ``a_r x T`` batched over R with K=Z=16 — 32
+    skinny GEMMs plus relayouts.  Embedding T as [R*Z, R*X*Y*G] block-diag
+    (zeros off the R diagonal) wastes 31/32 of the MACs but turns the step
+    into a single [B*A, 512] x [512, 16k] GEMM with the output already in
+    the layout the next contraction wants."""
+    R, X, Y, Z, G = T.shape
+    eye = jnp.eye(R, dtype=T.dtype)
+    T_bd = jnp.einsum("rxyzg,rs->rzsxyg", T, eye).reshape(R * Z, R * X * Y * G)
+    B, A = a_r.shape[0], a_r.shape[1]
+    ta = (a_r.reshape(B * A, R * Z) @ T_bd).reshape(B, A, R, X, Y, G)
+    tqa = jnp.einsum("bjry,blrxyg->bjlrxg", q_r, ta)
+    return jnp.einsum("birx,bjlrxg->bijlg", v_r, tqa)
+
+
 def masked_softmax_vqa_xla(logits, v_mask):
     """Flattened softmax over (V,Q,A) per glimpse with masked boxes zeroed
     (``attention.py:55-58``)."""
