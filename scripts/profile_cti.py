@@ -102,6 +102,27 @@ def main():
                 float(np.asarray(mm["loss"]))
                 dtm = (time.perf_counter() - t0) / 30
                 print(f"rep{rep} {dt:10s} {dtm * 1e3:8.3f} ms", flush=True)
+    if want("mb"):
+        # interleaved A/B: 32-bit vs 16-bit dropout masks
+        import dataclasses
+        runners = {}
+        for mb in (32, 16):
+            st = make_train_state(model, jax.random.PRNGKey(0))
+            stp = make_train_step(model,
+                                  dataclasses.replace(tcfg, mask_bits=mb))
+            st, mm = stp(st, batch, jnp.float32(1e-3), key)
+            float(np.asarray(mm["loss"]))
+            runners[mb] = [st, stp]
+        for rep in range(3):
+            for mb, r in runners.items():
+                t0 = time.perf_counter()
+                for i in range(30):
+                    r[0], mm = r[1](r[0], batch, jnp.float32(1e-3),
+                                    jax.random.fold_in(key, i))
+                float(np.asarray(mm["loss"]))
+                print(f"rep{rep} mask_bits={mb:2d} "
+                      f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
+                      flush=True)
     if want("kb"):
         import dataclasses
         for kb in ("xla", "pallas"):

@@ -306,4 +306,7 @@ def test_tfidf_scale_vqa2_sized(tmp_path):
     rowsum = np.bincount(tfidf.row, weights=tfidf.val)
     present = np.bincount(tfidf.row).astype(bool)
     np.testing.assert_allclose(rowsum[present], 1.0, rtol=1e-9)
-    assert elapsed < 30.0, f"tf-idf scale build took {elapsed:.1f}s"
+    # ~10s uncontended on the 1-core host (in-place int32 key sort); the
+    # bound is generous because the suite shares that core — it exists to
+    # catch a regression to the O(minutes) python-dict/np.unique builds.
+    assert elapsed < 90.0, f"tf-idf scale build took {elapsed:.1f}s"

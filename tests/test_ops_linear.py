@@ -96,3 +96,22 @@ def test_swish_classifier():
     out = clf.apply(p, jnp.ones((2, 4)))
     assert out.shape == (2, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dropout_mask_bits16_unbiased(rng):
+    """mask_bits=16 dropout: realized keep fraction matches the quantized
+    threshold and the inverted scale keeps the estimator unbiased."""
+    import jax
+    import jax.numpy as jnp
+    from vqatpu.ops.module import Ctx, dropout
+
+    x = jnp.ones((1500, 400))
+    for rate in (0.2, 0.5):
+        ctx = Ctx(train=True, rng=jax.random.PRNGKey(0), mask_bits=16)
+        y = dropout(x, rate, ctx)
+        keep = float((np.asarray(y) != 0).mean())
+        assert abs(keep - (1.0 - rate)) < 0.01
+        assert abs(float(np.asarray(y).mean()) - 1.0) < 0.01
+    # eval mode / rate 0: identity regardless of mask_bits
+    assert dropout(x, 0.0, Ctx(train=True, rng=jax.random.PRNGKey(0),
+                               mask_bits=16)) is x

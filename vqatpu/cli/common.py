@@ -70,6 +70,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=["rbg", "threefry"],
                         help="dropout-mask PRNG (rbg = TPU hardware RNG, "
                              "~2.5 ms/step faster at CTI reference shapes)")
+    parser.add_argument("--mask_bits", type=int, default=32, choices=[32, 16],
+                        help="dropout mask source: 32 = exact bernoulli, "
+                             "16 = uint16 threshold (half the RNG bits)")
     parser.add_argument("--fused_v_tucker", action="store_true", default=False,
                         help="one GEMM for the v-side tucker projections "
                              "(shared dropout mask; measured ~even)")
@@ -101,7 +104,7 @@ def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:
         kernel_backend=args.kernel_backend,
         v_block_size=args.v_block_size,
         remat_glimpse=args.remat,
-        fused_v_tucker=args.fused_v_tucker,
+        fused_v_tucker=getattr(args, "fused_v_tucker", False),
     )
 
 
@@ -119,5 +122,6 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         alpha=args.alpha,
         compute_dtype=args.compute_dtype,
         ckpt_backend=args.ckpt_backend,
-        rng_impl=args.rng_impl,
+        rng_impl=getattr(args, "rng_impl", "rbg"),
+        mask_bits=getattr(args, "mask_bits", 32),
     )

@@ -95,4 +95,8 @@ class TrainConfig:
     # mask *streams* differ between the two (as they do vs the reference's
     # torch RNG either way).
     rng_impl: str = "rbg"
+    # 32 = exact torch bernoulli(keep) semantics; 16 = threshold uint16 bits
+    # (half the RNG bits; keep-prob quantized to 1/65536 with the inverted
+    # scale using the exact realized probability — unbiased)
+    mask_bits: int = 32
     ckpt_backend: str = "pickle"  # or "orbax" (multi-host/sharded restore)

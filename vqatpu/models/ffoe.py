@@ -270,7 +270,9 @@ class CTIModel:
             # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace
             # replays the identical key stream (a closed-over Ctx counter
             # would advance during the extra trace and shift the masks)
-            sub_ctx = None if sub_rng is None else Ctx(train=True, rng=sub_rng)
+            sub_ctx = (None if sub_rng is None else
+                       Ctx(train=True, rng=sub_rng,
+                           mask_bits=ctx.mask_bits if ctx else 32))
             return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, sub_ctx,
                                                  v_t=v_t)
 

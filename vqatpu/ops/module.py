@@ -29,11 +29,18 @@ Params = Any  # nested dict pytree of jnp arrays
 
 
 class Ctx:
-    """Per-call context: train flag + deterministic dropout key stream."""
+    """Per-call context: train flag + deterministic dropout key stream.
 
-    def __init__(self, train: bool = False, rng: Optional[jax.Array] = None):
+    ``mask_bits=16`` draws dropout masks by thresholding uint16 bits instead
+    of f32 uniforms (half the RNG bits; the keep probability quantizes to
+    1/65536 granularity, and the inverted-dropout scale uses the EXACT
+    realized probability, so the estimator stays unbiased)."""
+
+    def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
+                 mask_bits: int = 32):
         self.train = train
         self.rng = rng
+        self.mask_bits = mask_bits
         self._counter = 0
 
     def dropout_key(self) -> jax.Array:
@@ -65,6 +72,11 @@ def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
     if rate <= 0.0 or ctx is None or not ctx.train:
         return x
     keep = 1.0 - rate
+    if ctx.mask_bits == 16:
+        thresh = round(keep * 65536.0)
+        bits = jax.random.bits(ctx.dropout_key(), x.shape, jnp.uint16)
+        mask = bits.astype(jnp.uint32) < jnp.uint32(thresh)
+        return jnp.where(mask, x * (65536.0 / thresh), jnp.zeros_like(x))
     mask = jax.random.bernoulli(ctx.dropout_key(), keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
