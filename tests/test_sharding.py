@@ -38,6 +38,11 @@ def test_param_shardings_select_tp_dims(rng):
     assert sh["classifier"]["l2"]["b"].spec == P(MODEL_AXIS)
     assert sh["t_att"]["tc"]["T_g"].spec == P(MODEL_AXIS)
     assert sh["t_att"]["tc"]["v_net"]["l0"]["v"].spec == P(MODEL_AXIS)
+    # Megatron pair: column-parallel t_net tuckers, row-parallel prjs
+    assert sh["t_net0"]["v_tucker"]["l0"]["v"].spec == P(MODEL_AXIS, None)
+    assert sh["t_net1"]["q_tucker"]["l0"]["b"].spec == P(MODEL_AXIS)
+    assert sh["q_prj0"]["l0"]["v"].spec == P(None, MODEL_AXIS)
+    assert sh["a_prj1"]["l0"]["b"].spec == P()
     # everything else replicated
     assert sh["w_emb"]["emb"].spec == P()
     assert sh["q_emb"]["fwd"]["w_ih"].spec == P()

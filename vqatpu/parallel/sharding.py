@@ -43,10 +43,21 @@ def make_mesh_2d(dp: int, tp: int) -> Mesh:
 
 
 def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for params on a 2-D mesh: classifier output dim
-    and T_g rank dim sharded over ``model``; everything else replicated.
-    On a 1-D mesh everything replicates (pure DP)."""
+    """NamedSharding pytree for params on a 2-D mesh, replicated on 1-D
+    (pure DP).  Model-axis layout:
+
+    - classifier final vocab projection: output dim (column-parallel),
+    - ``T_g`` + stacked per-rank nets: the PARALIND rank dim,
+    - per-glimpse ``t_net`` tuckers: output dim ``d`` (column-parallel) —
+      the largest GEMMs in the CTI step ([B*V, 2048] x [2048, d]) — paired
+      with row-parallel ``q_prj``/``a_prj`` (input dim sharded), the
+      Megatron pattern: the joint embedding stays d-sharded through the
+      pooling (elementwise in d) and resolves to one ICI all-reduce at each
+      prj, emitted by GSPMD from these annotations alone."""
     has_model = MODEL_AXIS in mesh.axis_names
+    # row-parallel prj only where it pairs with d-sharded t_net tuckers
+    # (CTI/Tan); BAN's prj consumes replicated BCNet output
+    has_tnet = isinstance(params, dict) and "t_net0" in params
 
     def walk(tree, path):
         if isinstance(tree, dict):
@@ -63,6 +74,18 @@ def param_shardings(params, mesh: Mesh):
                 spec = P(MODEL_AXIS)  # rank dim of the PARALIND core
             elif len(path) >= 3 and path[-3] in ("v_net", "q_net", "a_net"):
                 spec = P(MODEL_AXIS)  # stacked per-rank nets: [rank, ...]
+            elif (has_tnet and path[0].startswith("t_net")
+                  and len(path) >= 2 and path[1].endswith("_tucker")):
+                # column-parallel tucker: v [d, in], b [d]
+                if path[-1] == "v":
+                    spec = P(MODEL_AXIS, None)
+                elif path[-1] == "b":
+                    spec = P(MODEL_AXIS)
+            elif (has_tnet
+                  and (path[0].startswith("q_prj") or path[0].startswith("a_prj"))):
+                # row-parallel prj: v [out, d] contracts the sharded d
+                if path[-1] == "v":
+                    spec = P(None, MODEL_AXIS)
         return NamedSharding(mesh, spec)
 
     return walk(params, ())
