@@ -136,7 +136,10 @@ def main():
             m = build_model(dataclasses.replace(cfg, fused_v_tucker=fused))
             print(f"--- fused_v_tucker={fused}", flush=True)
             _time_full_step(m, tcfg, batch, key)
-    _rest(model, tcfg, batch, key, params)
+    rest_stages = {"loss", "fwd", "gru", "att", "proj", "chain", "chain2",
+                   "joint", "clf", "rng", "rngfast", "adamax"}
+    if not STAGES or STAGES & rest_stages:
+        _rest(model, tcfg, batch, key, params)
 
 
 def _time_full_step(model, tcfg, batch, key):

@@ -342,3 +342,41 @@ def test_orbax_sharded_state_save_restore_step(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s_rest.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_restore_premasked_checkpoint(tmp_path, rng):
+    """Checkpoints written before the masked-Adamax change (full m/u state
+    for the frozen emb_) restore into the current masked opt_state: stale
+    frozen-leaf state is dropped, live state is kept."""
+    from vqatpu.train.checkpoints import restore_train_state, save_checkpoint
+    from vqatpu.train.optim import adamax_with_lr
+    from tests.test_end_to_end import small_cfg
+
+    class _DS:
+        pass
+
+    cfg = ModelConfig(ntoken=30, v_dim=8, num_ans_candidates=7, model="ban",
+                      num_hid=16, op="c")
+    model = build_model(cfg)
+    state = make_train_state(model, jax.random.PRNGKey(0))  # masked layout
+
+    # forge the OLD layout: unmasked optimizer over the same params
+    old_tx = adamax_with_lr()
+    old_state = state._replace(opt_state=old_tx.init(state.params))
+    path = str(tmp_path / "model_epoch3.ckpt")
+    save_checkpoint(path, old_state, epoch=3)
+
+    restored, start = restore_train_state(path, state)
+    assert start == 4
+    # structure matches the masked template and a step runs
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        state.opt_state)
+    step = make_train_step(model, TrainConfig(update_freq=1))
+    batch = {
+        "v": jnp.asarray(rng.randn(4, 6, 8).astype(np.float32)),
+        "q": jnp.asarray(rng.randint(0, 31, (4, 12))),
+        "target": jnp.asarray(rng.rand(4, 7).astype(np.float32)),
+    }
+    new_state, metrics = step(restored, batch, jnp.float32(1e-3),
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

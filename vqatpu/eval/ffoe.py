@@ -40,11 +40,13 @@ def _maybe_shard(db: dict, mesh):
     are always full-size, so divisibility only depends on the batch size."""
     if mesh is None:
         return db
-    from vqatpu.parallel import shard_batch
+    from vqatpu.parallel import DATA_AXIS, shard_batch
 
-    n_dev = int(np.prod(list(mesh.shape.values())))
+    # only the leading axis shards, over the DATA axis — on a 2-D
+    # data x model mesh the divisor is dp, not dp*tp
+    dp = int(mesh.shape.get(DATA_AXIS, 1))
     batch = next(iter(db.values())).shape[0]
-    if batch % n_dev != 0:
+    if batch % dp != 0:
         return db
     return shard_batch(db, mesh)
 

@@ -256,6 +256,12 @@ class CTIModel:
         if fused:
             from vqatpu.ops.trilinear import fused_tucker_projection
 
+            # fusing shares ONE dropout draw + activation across the nets —
+            # only valid while their configs agree (they do at reference
+            # defaults; guard against future divergence)
+            assert (self.t_att.tc.dropout[1] == self.t_net.dropout[1]
+                    and self.t_att.tc.act == self.t_net.act), \
+                "fused_v_tucker requires matching t_att/t_net tucker configs"
             nets = [p["t_att"]["tc"]["v_tucker"]] + [
                 p[f"t_net{g}"]["v_tucker"] for g in range(self.cfg.gamma)]
             v_ts = fused_tucker_projection(

@@ -73,7 +73,7 @@ def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
         return x
     keep = 1.0 - rate
     if ctx.mask_bits == 16:
-        thresh = round(keep * 65536.0)
+        thresh = max(round(keep * 65536.0), 1)  # rate→1.0 must not div-by-0
         bits = jax.random.bits(ctx.dropout_key(), x.shape, jnp.uint16)
         mask = bits.astype(jnp.uint32) < jnp.uint32(thresh)
         return jnp.where(mask, x * (65536.0 / thresh), jnp.zeros_like(x))

@@ -23,6 +23,17 @@ import jax.numpy as jnp
 from vqatpu.ops.module import Ctx, config, uniform
 
 
+def _gru_gate_update(gi, gh, h):
+    """Shared GRU cell gate math (torch r,z,n order — parity-critical; used
+    by both the single scan and the dual 2-batched scan)."""
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
 def _gru_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     """x: [B, T, F] -> all hidden states [B, T, H]."""
     B = x_btf.shape[0]
@@ -31,13 +42,7 @@ def _gru_scan(x_btf, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     gi_all = jnp.einsum("btf,gf->btg", x_btf, w_ih) + b_ih  # [B, T, 3H]
 
     def cell(h, gi):
-        gh = h @ w_hh.T + b_hh
-        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gate_update(gi, h @ w_hh.T + b_hh, h)
         return h_new, h_new
 
     h0 = jnp.zeros((B, H), x_btf.dtype)
@@ -107,12 +112,7 @@ def gru_dual_apply_all(p_q, p_a, x_q: jnp.ndarray, x_a: jnp.ndarray,
     def cell(h, gi_t):
         gh = jax.lax.dot_general(
             h, w_hh, (((2,), (2,)), ((0,), (0,)))) + b_hh  # [2, B, 3H]
-        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gate_update(gi_t, gh, h)
         return h_new, h_new
 
     h0 = jnp.zeros((2, B, H), x_q.dtype)

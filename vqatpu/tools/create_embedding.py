@@ -89,7 +89,10 @@ def bert_embedding_matrix(idx2word, model, tokenizer) -> np.ndarray:
     """Per-word pooled-BERT embedding matrix
     (``tools/create_bert_embedding.py:7-14``): each vocab word is tokenized
     to wordpieces and its ``pooler_output`` becomes the row."""
-    import torch
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("torch unavailable for BERT embeddings") from e
 
     hidden = int(model.config.hidden_size)
     weights = np.zeros((len(idx2word), hidden), np.float32)

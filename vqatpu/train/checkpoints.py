@@ -69,9 +69,44 @@ def load_params_any(input_dir: str, epoch, model) -> Any:
         f"no model_epoch{epoch}.{{ckpt,orbax,pth}} under {input_dir}")
 
 
+def _merge_opt_state(payload_node, template_node):
+    """Structural merge of a pickled opt_state into the current template.
+
+    Pre-r2 checkpoints carry full Adamax m/u state for frozen params; the
+    current optimizer is ``optax.masked`` and keeps ``MaskedNode`` there
+    (train/steps.py).  Wherever the template says MaskedNode, the payload's
+    stale state is dropped; everywhere else shapes must match."""
+    import optax
+
+    if isinstance(template_node, optax.MaskedNode):
+        return template_node
+    if (isinstance(template_node, optax.MaskedState)
+            and not isinstance(payload_node, optax.MaskedState)):
+        # old layout stored the inner optimizer state unwrapped
+        return optax.MaskedState(inner_state=_merge_opt_state(
+            payload_node, template_node.inner_state))
+    if isinstance(template_node, dict):
+        return {k: _merge_opt_state(payload_node[k], v)
+                for k, v in template_node.items()}
+    if hasattr(template_node, "_fields"):  # namedtuple (optax states)
+        vals = []
+        for i, f in enumerate(template_node._fields):
+            sub = (getattr(payload_node, f) if hasattr(payload_node, f)
+                   else payload_node[i])
+            vals.append(_merge_opt_state(sub, getattr(template_node, f)))
+        return type(template_node)(*vals)
+    if isinstance(template_node, (list, tuple)):
+        return type(template_node)(
+            _merge_opt_state(a, b) for a, b in zip(payload_node, template_node))
+    assert np.shape(payload_node) == np.shape(template_node), (
+        np.shape(payload_node), np.shape(template_node))
+    return jax.numpy.asarray(payload_node)
+
+
 def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
     """Load params/opt_state into an existing (freshly-built) state, returning
-    (state, start_epoch).  Structure must match the current model."""
+    (state, start_epoch).  Structure must match the current model; opt_state
+    tolerates the pre-masked-Adamax layout (see :func:`_merge_opt_state`)."""
     payload = load_checkpoint(path)
 
     def check_and_cast(new, old):
@@ -79,7 +114,11 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
         return jax.numpy.asarray(new)
 
     params = jax.tree.map(check_and_cast, payload["params"], state.params)
-    opt_state = jax.tree.map(check_and_cast, payload["opt_state"], state.opt_state)
+    try:
+        opt_state = jax.tree.map(check_and_cast, payload["opt_state"],
+                                 state.opt_state)
+    except (ValueError, TypeError):
+        opt_state = _merge_opt_state(payload["opt_state"], state.opt_state)
     new_state = TrainState(
         params=params,
         opt_state=opt_state,
