@@ -213,6 +213,36 @@ def _rest(model, tcfg, batch, key, params):
     if want("gru"):
         timed("GRU q+a encoders fwd+bwd", gru_fb, params)
 
+    if want("gru2"):
+        # interleaved A/B: dual 2-batched scan vs two separate scans
+        from vqatpu.ops.rnn import gru_dual_apply_all
+
+        def loss_dual(p, c):
+            ctx = Ctx(train=True, rng=key)
+            w = w_emb.apply(p["w_emb"], q, ctx)
+            wa = w_emb.apply(p["wa_emb"], a, ctx)
+            qs, as_ = gru_dual_apply_all(p["q_emb"]["fwd"], p["ans_emb"]["fwd"],
+                                         w + c, wa, 1024)
+            return qs.sum() * 1e-9 + as_.sum() * 1e-9
+
+        def dual_fb(c, i, p):
+            l, g = jax.value_and_grad(loss_dual)(p, c * 1e-20)
+            return l + _gsum(g)
+
+        fns = {"separate": jax.jit(gru_fb), "dual": jax.jit(dual_fb)}
+        for name, f in fns.items():
+            float(np.asarray(f(jnp.float32(0.0), 0, params)))
+        for rep in range(3):
+            for name, f in fns.items():
+                c = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for i in range(30):
+                    c = f(c, i, params)
+                float(np.asarray(c))
+                print(f"rep{rep} gru-{name:9s} "
+                      f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
+                      flush=True)
+
     # precomputed states for attention / joint timing
     ctx0 = Ctx(train=False)
     w0 = w_emb.apply(params["w_emb"], q, ctx0)
