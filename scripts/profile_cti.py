@@ -136,8 +136,8 @@ def main():
             m = build_model(dataclasses.replace(cfg, fused_v_tucker=fused))
             print(f"--- fused_v_tucker={fused}", flush=True)
             _time_full_step(m, tcfg, batch, key)
-    rest_stages = {"loss", "fwd", "gru", "att", "proj", "chain", "chain2",
-                   "joint", "clf", "rng", "rngfast", "adamax"}
+    rest_stages = {"loss", "fwd", "gru", "gru2", "att", "proj", "chain",
+                   "chain2", "joint", "clf", "rng", "rngfast", "adamax"}
     if not STAGES or STAGES & rest_stages:
         _rest(model, tcfg, batch, key, params)
 

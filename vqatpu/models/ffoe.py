@@ -232,15 +232,12 @@ class CTIModel:
 
         w = self.w_emb.apply(p["w_emb"], q, ctx)
         wa = self.w_emb.apply(p["wa_emb"], a, ctx)
-        if self.q_emb.rnn_type == "GRU" and not self.q_emb.bidirect:
-            # both streams in ONE scan (bit-identical; see gru_dual_apply_all)
-            from vqatpu.ops.rnn import gru_dual_apply_all
-            q_state, a_state = gru_dual_apply_all(
-                p["q_emb"]["fwd"], p["ans_emb"]["fwd"], w, wa,
-                self.cfg.num_hid)  # [B, Q, H], [B, A, H]
-        else:
-            q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)
-            a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
+        # two separate scans measured FASTER than the bit-identical dual
+        # 2-batched scan (2.4-2.7 vs 3.4-4.9 ms fwd+bwd interleaved) — the
+        # fully-unrolled independent scans already overlap under XLA; see
+        # rnn.gru_dual_apply_all + PROFILE.md
+        q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)  # [B, Q, H]
+        a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)  # [B, A, H]
 
         blockwise = (self.cfg.v_block_size > 0
                      and v.shape[1] > self.cfg.v_block_size)

@@ -186,15 +186,10 @@ class TanModel:
 
         w = self.w_emb.apply(p["w_emb"], q, ctx)
         wa = self.w_emb.apply(p["wa_emb"], a, ctx)
-        if self.q_emb.rnn_type == "GRU" and not self.q_emb.bidirect:
-            # both streams in ONE scan (bit-identical; see gru_dual_apply_all)
-            from vqatpu.ops.rnn import gru_dual_apply_all
-            q_state, a_state = gru_dual_apply_all(
-                p["q_emb"]["fwd"], p["ans_emb"]["fwd"], w, wa,
-                self.cfg.num_hid)
-        else:
-            q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)
-            a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
+        # separate scans beat the dual 2-batched scan by measurement
+        # (see CTIModel.apply + PROFILE.md)
+        q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)
+        a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
 
         att, _ = self.v_att.apply(p["v_att"], v, q_state, a_state, v_mask, ctx,
                                   return_logits=False)
