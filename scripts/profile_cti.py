@@ -137,7 +137,8 @@ def main():
             print(f"--- fused_v_tucker={fused}", flush=True)
             _time_full_step(m, tcfg, batch, key)
     rest_stages = {"loss", "fwd", "gru", "gru2", "att", "proj", "chain",
-                   "chain2", "joint", "clf", "rng", "rngfast", "adamax"}
+                   "chain2", "chain3", "joint", "clf", "rng", "rngfast",
+                   "adamax"}
     if not STAGES or STAGES & rest_stages:
         _rest(model, tcfg, batch, key, params)
 
@@ -299,6 +300,42 @@ def _rest(model, tcfg, batch, key, params):
 
     if want("chain"):
         timed("  PARALIND chain+softmax fwd+bwd", chain_fb, v_r, q_r, a_r, T)
+
+    if want("chain3"):
+        # interleaved A/B: chain with f32 vs bf16 operands (f32 softmax)
+        from vqatpu.kernels.trilinear import (attention_logits_xla,
+                                              masked_softmax_vqa_xla)
+
+        def mk3(dtype):
+            def loss(vr, qr, ar, t, c):
+                vr = (vr + c).astype(dtype)
+                logits = attention_logits_xla(vr, qr.astype(dtype),
+                                              ar.astype(dtype),
+                                              t.astype(dtype))
+                att = masked_softmax_vqa_xla(logits.astype(jnp.float32),
+                                             v_mask)
+                return att.sum() * 1e-6
+
+            def fb(c, i, *ops):
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    *ops, c * 1e-20)
+                return l + _gsum(g)
+            return fb
+
+        fns3 = {"f32": jax.jit(mk3(jnp.float32)),
+                "bf16": jax.jit(mk3(jnp.bfloat16))}
+        for name, f in fns3.items():
+            float(np.asarray(f(jnp.float32(0.0), 0, v_r, q_r, a_r, T)))
+        for rep in range(3):
+            for name, f in fns3.items():
+                c = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for i in range(30):
+                    c = f(c, i, v_r, q_r, a_r, T)
+                float(np.asarray(c))
+                print(f"rep{rep} chain-{name:5s} "
+                      f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
+                      flush=True)
 
     if want("chain2"):
         # interleaved A/B: standard chain vs block-diagonal-T first step
