@@ -160,3 +160,63 @@ def test_export_cti_strict_torch_load():
     missing, unexpected = skel.load_state_dict(sd, strict=False)
     assert not unexpected, f"exported keys the reference would reject: {unexpected}"
     assert not missing, f"reference keys the export lacks: {missing}"
+
+
+class BCReal(nn.Module):
+    """Reference-faithful BCNet param surface (bc.py): FCNets with dropout
+    0.2, optional h_mat/h_bias (attention regime) or h_net (k-fold)."""
+
+    def __init__(self, k=1, h_out=None, with_h_net=False):
+        super().__init__()
+        self.v_net = FC([V_DIM, HID * k], drop=0.2)
+        self.q_net = FC([HID, HID * k], drop=0.2)
+        if h_out is not None:
+            self.h_mat = nn.Parameter(torch.randn(1, h_out, 1, HID * k))
+            self.h_bias = nn.Parameter(torch.randn(1, h_out, 1, 1))
+        if with_h_net:
+            self.h_net = weight_norm(nn.Linear(HID * k, 1), dim=None)
+
+
+class BiAttWrap(nn.Module):
+    def __init__(self, glimpse):
+        super().__init__()
+        self.logits = weight_norm(BCReal(k=3, h_out=glimpse), name="h_mat",
+                                  dim=None)
+
+
+class TorchBanSkeleton(nn.Module):
+    def __init__(self, gamma=2):
+        super().__init__()
+        self.w_emb = WE()
+        self.q_emb = QE()
+        self.v_att = BiAttWrap(gamma)
+        self.b_net = nn.ModuleList([BCReal(k=1) for _ in range(gamma)])
+        self.q_prj = nn.ModuleList([FC([HID, HID], act="", drop=0.2)
+                                    for _ in range(gamma)])
+        self.c_prj = nn.ModuleList([FC([11, HID], act="ReLU", drop=0.0)
+                                    for _ in range(gamma)])
+        self.counter = nn.Module()
+        self.counter.f = nn.ModuleList()
+        for _ in range(8):
+            m = nn.Module()
+            m.weight = nn.Parameter(torch.randn(17))
+            self.counter.f.append(m)
+        self.classifier = nn.Module()
+        self.classifier.main = nn.Sequential(
+            weight_norm(nn.Linear(HID, 2 * HID), dim=None), nn.ReLU(),
+            nn.Dropout(0.5),
+            weight_norm(nn.Linear(2 * HID, 11), dim=None))
+
+
+def test_export_ban_strict_torch_load():
+    """BAN+counter export loads strict into a reference-faithful skeleton."""
+    model = build_model(_cfg(model="ban", use_counter=True, objects=10))
+    params = model.init(jax.random.PRNGKey(4))
+    sd = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+          for k, v in export_state_dict(model, params).items()}
+    skel = TorchBanSkeleton()
+    missing, unexpected = skel.load_state_dict(sd, strict=False)
+    # the b_net k=1 regime has h_net in vqatpu only when h_out None; the
+    # skeleton omits it like the reference's None-h_out path
+    assert not unexpected, f"exported keys the reference would reject: {unexpected}"
+    assert not missing, f"reference keys the export lacks: {missing}"
