@@ -1,0 +1,80 @@
+"""Multi-HOST (multi-process) distributed training smoke: 2 CPU processes
+with gloo collectives stand in for 2 pod hosts.  Each process supplies its
+local batch shard; the global mesh spans both processes' devices; one
+jitted CTI train step runs; both processes' losses must equal the
+single-process loss on the same global batch.
+
+This exercises the exact multi-host API surface a TPU pod uses
+(jax.distributed.initialize + make_array_from_process_local_data);
+see vqatpu/parallel/distributed.py.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqatpu.config import ModelConfig, TrainConfig
+from vqatpu.models import build_model
+from vqatpu.train.steps import make_train_state, make_train_step
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "helpers", "mp_train_worker.py")
+
+
+def _single_process_loss():
+    cfg = ModelConfig(ntoken=50, v_dim=16, num_ans_candidates=11, model="cti",
+                      num_hid=16, h_mm=8, rank=2, gamma=2)
+    model = build_model(cfg)
+    B = 8
+    rng = np.random.RandomState(7)
+    batch = {
+        "v": jnp.asarray(rng.randn(B, 6, 16).astype(np.float32)),
+        "q": jnp.asarray(rng.randint(0, 51, (B, 12)).astype(np.int32)),
+        "a": jnp.asarray(rng.randint(0, 51, (B, 3)).astype(np.int32)),
+        "target": jnp.asarray(rng.rand(B, 11).astype(np.float32)),
+    }
+    state = make_train_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model, TrainConfig(update_freq=1))
+    _, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    return float(np.asarray(metrics["loss"]))
+
+
+def test_two_process_train_step_matches_single():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([sys.executable, WORKER, str(pid), "2", "19747"],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSS ")]
+        assert line, out[-2000:]
+        losses.append(float(line[-1].split()[1]))
+
+    want = _single_process_loss()
+    for got in losses:
+        # identical math; cross-device reduction order may differ in the
+        # last float bits
+        assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
