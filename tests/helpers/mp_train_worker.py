@@ -42,12 +42,11 @@ q = rng.randint(0, 51, (B_global, 12)).astype(np.int32)
 a = rng.randint(0, 51, (B_global, 3)).astype(np.int32)
 target = rng.rand(B_global, 11).astype(np.float32)
 
+from vqatpu.parallel.distributed import local_batch_slice
+
 mesh = global_mesh()
-lo = pid * (B_global // nproc)
-hi = lo + B_global // nproc
 batch = global_batch_from_local(
-    {"v": v[lo:hi], "q": q[lo:hi], "a": a[lo:hi], "target": target[lo:hi]},
-    mesh)
+    local_batch_slice({"v": v, "q": q, "a": a, "target": target}), mesh)
 
 state = make_train_state(model, jax.random.PRNGKey(0))
 state = TrainState(*[replicate_tree_global(part, mesh) for part in state])

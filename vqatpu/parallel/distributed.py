@@ -61,6 +61,25 @@ def global_batch_from_local(batch: dict, mesh: Mesh) -> dict:
     }
 
 
+def local_batch_slice(batch: dict, num_processes: Optional[int] = None,
+                      process_id: Optional[int] = None) -> dict:
+    """THIS process's rows of a (deterministically ordered) global batch.
+
+    A multi-host loop runs the same seeded ``BatchLoader`` on every host,
+    slices each global batch with this, and assembles jax.Arrays with
+    :func:`global_batch_from_local` — the data-loading analogue of what a
+    per-host input pipeline would do.  Batch size must divide evenly."""
+    n = jax.process_count() if num_processes is None else num_processes
+    i = jax.process_index() if process_id is None else process_id
+    out = {}
+    for k, v in batch.items():
+        b = v.shape[0]
+        assert b % n == 0, (k, b, n)
+        per = b // n
+        out[k] = v[i * per:(i + 1) * per]
+    return out
+
+
 def replicate_tree_global(tree, mesh: Mesh):
     """Replicate a host-local pytree (params / train state) onto every
     device of the global mesh.  All processes must pass identical values
