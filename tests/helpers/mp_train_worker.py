@@ -55,3 +55,9 @@ step = make_train_step(model, tcfg)
 state, metrics = step(state, batch, jnp.float32(1e-3),
                       replicate_tree_global(jax.random.PRNGKey(1), mesh))
 print(f"LOSS {float(np.asarray(metrics['loss'])):.8f}", flush=True)
+
+# distributed eval over the same global mesh (post-update params)
+from vqatpu.train.steps import make_eval_step
+
+ev = make_eval_step(model)(state.params, batch)
+print(f"SCORE {float(np.asarray(ev['score'])):.8f}", flush=True)

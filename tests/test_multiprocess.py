@@ -41,8 +41,13 @@ def _single_process_loss():
     }
     state = make_train_state(model, jax.random.PRNGKey(0))
     step = make_train_step(model, TrainConfig(update_freq=1))
-    _, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
-    return float(np.asarray(metrics["loss"]))
+    state, metrics = step(state, batch, jnp.float32(1e-3),
+                          jax.random.PRNGKey(1))
+    from vqatpu.train.steps import make_eval_step
+
+    ev = make_eval_step(model)(state.params, batch)
+    return (float(np.asarray(metrics["loss"])),
+            float(np.asarray(ev["score"])))
 
 
 def test_two_process_train_step_matches_single():
@@ -67,14 +72,18 @@ def test_two_process_train_step_matches_single():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
 
-    losses = []
-    for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("LOSS ")]
+    def grab(tag, out):
+        line = [ln for ln in out.splitlines() if ln.startswith(tag + " ")]
         assert line, out[-2000:]
-        losses.append(float(line[-1].split()[1]))
+        return float(line[-1].split()[1])
 
-    want = _single_process_loss()
-    for got in losses:
+    want_loss, want_score = _single_process_loss()
+    for out in outs:
         # identical math; cross-device reduction order may differ in the
         # last float bits
-        assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+        got = grab("LOSS", out)
+        assert abs(got - want_loss) < 1e-4 * max(1.0, abs(want_loss)), (
+            got, want_loss)
+        got_s = grab("SCORE", out)
+        assert abs(got_s - want_score) < 1e-4 * max(1.0, abs(want_score)), (
+            got_s, want_score)
