@@ -1,7 +1,7 @@
 """Worker for tests/test_multiprocess.py: one process of a 2-process
 distributed CTI train step (CPU + gloo standing in for a pod host).
 
-argv: process_id num_processes coordinator_port
+argv: process_id num_processes coordinator_port [orbax_ckpt_dir]
 Prints "LOSS <value>" — the test compares both processes' values to the
 single-process loss on the same global batch.
 
@@ -61,3 +61,18 @@ from vqatpu.train.steps import make_eval_step
 
 ev = make_eval_step(model)(state.params, batch)
 print(f"SCORE {float(np.asarray(ev['score'])):.8f}", flush=True)
+
+if len(sys.argv) > 4:
+    # multi-host orbax checkpoint: every process participates in the save
+    # of the cross-process state, then the raw restore must match
+    from vqatpu.train.checkpoints import save_checkpoint_orbax
+
+    ckpt = sys.argv[4]
+    save_checkpoint_orbax(ckpt, state, epoch=1)
+    import orbax.checkpoint as ocp
+
+    back = ocp.PyTreeCheckpointer().restore(ckpt)
+    want = np.asarray(state.params["classifier"]["l1"]["v"])
+    got = np.asarray(back["params"]["classifier"]["l1"]["v"])
+    assert np.allclose(want, got), "orbax roundtrip mismatch"
+    print("ORBAX OK", flush=True)

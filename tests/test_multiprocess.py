@@ -54,8 +54,12 @@ def test_two_process_train_step_matches_single():
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    ckpt = os.path.join(REPO, ".pytest_mp_orbax")
+    import shutil
+    shutil.rmtree(ckpt, ignore_errors=True)
     procs = [
-        subprocess.Popen([sys.executable, WORKER, str(pid), "2", "19747"],
+        subprocess.Popen([sys.executable, WORKER, str(pid), "2", "19747",
+                          ckpt],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True, cwd=REPO)
         for pid in range(2)
@@ -87,3 +91,5 @@ def test_two_process_train_step_matches_single():
         got_s = grab("SCORE", out)
         assert abs(got_s - want_score) < 1e-4 * max(1.0, abs(want_score)), (
             got_s, want_score)
+        assert "ORBAX OK" in out, out[-2000:]
+    shutil.rmtree(ckpt, ignore_errors=True)
