@@ -310,3 +310,21 @@ def test_tfidf_scale_vqa2_sized(tmp_path):
     # bound is generous because the suite shares that core — it exists to
     # catch a regression to the O(minutes) python-dict/np.unique builds.
     assert elapsed < 90.0, f"tf-idf scale build took {elapsed:.1f}s"
+
+
+def test_tfidf_large_vocab_key_dtype():
+    """When n_base * n_vocab exceeds int32, the packed-key coalesce must
+    switch to int64 — same math as the small-vocab path."""
+    from vqatpu.data.tfidf import _build_row_stochastic
+
+    n_vocab = 50_000  # 50k * 50k > 2^31 -> int64 keys
+    flat = np.asarray([5, 49_999, 5, 7, 49_999, 7], np.int64)
+    lens = np.asarray([3, 3], np.int64)
+    t = _build_row_stochastic(flat, lens, n_base=n_vocab, n_vocab=n_vocab)
+    rows = t.rows
+    # question 1: tokens (5, 49999, 5) -> pairs (5,49999)x2 (directed both
+    # ways), (5,5); df[5]=2? no: df counts all occurrences -> df[5]=2,
+    # df[7]=2, df[49999]=2
+    np.testing.assert_allclose(sum(rows[5].values()), 1.0, rtol=1e-9)
+    np.testing.assert_allclose(sum(rows[49_999].values()), 1.0, rtol=1e-9)
+    assert 49_999 in rows[5] and 5 in rows[5]  # self-pair from duplicate
