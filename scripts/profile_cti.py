@@ -137,7 +137,7 @@ def main():
             print(f"--- fused_v_tucker={fused}", flush=True)
             _time_full_step(m, tcfg, batch, key)
     rest_stages = {"loss", "fwd", "gru", "gru2", "att", "proj", "chain",
-                   "chain2", "chain3", "joint", "clf", "rng", "rngfast",
+                   "chain2", "chain3", "chain4", "joint", "clf", "rng", "rngfast",
                    "adamax"}
     if not STAGES or STAGES & rest_stages:
         _rest(model, tcfg, batch, key, params)
@@ -334,6 +334,38 @@ def _rest(model, tcfg, batch, key, params):
                     c = f(c, i, v_r, q_r, a_r, T)
                 float(np.asarray(c))
                 print(f"rep{rep} chain-{name:5s} "
+                      f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
+                      flush=True)
+
+    if want("chain4"):
+        # interleaved A/B: einsum chain vs hand-laid-out dot_general chain
+        from vqatpu.kernels.trilinear import (attention_logits_dg,
+                                              attention_logits_xla,
+                                              masked_softmax_vqa_xla)
+
+        def mk4(fn):
+            def loss(vr, qr, ar, t, c):
+                att = masked_softmax_vqa_xla(fn(vr + c, qr, ar, t), v_mask)
+                return att.sum() * 1e-6
+
+            def fb(c, i, *ops):
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    *ops, c * 1e-20)
+                return l + _gsum(g)
+            return fb
+
+        fns4 = {"einsum": jax.jit(mk4(attention_logits_xla)),
+                "dg": jax.jit(mk4(attention_logits_dg))}
+        for name, f in fns4.items():
+            float(np.asarray(f(jnp.float32(0.0), 0, v_r, q_r, a_r, T)))
+        for rep in range(3):
+            for name, f in fns4.items():
+                c = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for i in range(30):
+                    c = f(c, i, v_r, q_r, a_r, T)
+                float(np.asarray(c))
+                print(f"rep{rep} chain-{name:7s} "
                       f"{(time.perf_counter() - t0) / 30 * 1e3:8.3f} ms",
                       flush=True)
 

@@ -39,6 +39,10 @@ def test_attention_order_matches_naive(tri_inputs):
     from vqatpu.kernels.trilinear import attention_logits_blockdiag
     got_bd = attention_logits_blockdiag(v_r, q_r, a_r, T)
     np.testing.assert_allclose(np.asarray(got_bd), np.asarray(want), atol=2e-4)
+    # ...and the hand-laid-out dot_general variant
+    from vqatpu.kernels.trilinear import attention_logits_dg
+    got_dg = attention_logits_dg(v_r, q_r, a_r, T)
+    np.testing.assert_allclose(np.asarray(got_dg), np.asarray(want), atol=2e-4)
 
 
 def test_pallas_softmax_matches_xla(tri_inputs):

@@ -76,6 +76,36 @@ def attention_logits_blockdiag(v_r, q_r, a_r, T):
     return jnp.einsum("birx,bjlrxg->bijlg", v_r, tqa)
 
 
+def attention_logits_dg(v_r, q_r, a_r, T):
+    """Hand-laid-out dot_general variant of :func:`attention_logits_xla`.
+
+    TPU VMEM tiles are (8, 128): an array whose minor axis is 16 wastes
+    7/8 of every lane.  This version picks the axis orders so each big
+    intermediate keeps a >=96-wide minor dim ((y,x,g) packed 512-wide out
+    of the first GEMM; (a,g,x) 96-wide out of the second), accepting two
+    explicit relayouts where the contraction structure forces a small
+    minor.  Measured vs the einsum path in profile_cti stage ``chain4``."""
+    B, V, R, X = v_r.shape
+    Q = q_r.shape[1]
+    A = a_r.shape[1]
+    Z, Y, G = T.shape[3], T.shape[2], T.shape[4]
+    # step 1: ta[r, b*a, (y x g)] — one batched GEMM, 512-wide minor out
+    a2 = jnp.transpose(a_r, (2, 0, 1, 3)).reshape(R, B * A, Z)
+    T2 = jnp.transpose(T, (0, 3, 2, 1, 4)).reshape(R, Z, Y * X * G)
+    ta = jax.lax.dot_general(a2, T2, (((2,), (1,)), ((0,), (0,))))
+    # step 2: contract y, batch (r, b): relayout to [R*B, Y, A*X*G]
+    ta = ta.reshape(R, B, A, Y, X * G)
+    ta = jnp.transpose(ta, (0, 1, 3, 2, 4)).reshape(R * B, Y, A * X * G)
+    q2 = jnp.transpose(q_r, (2, 0, 1, 3)).reshape(R * B, Q, Y)
+    tqa = jax.lax.dot_general(q2, ta, (((2,), (1,)), ((0,), (0,))))
+    # step 3: contract (r, x), batch b: relayout to [B, R*X, Q*A*G]
+    tqa = tqa.reshape(R, B, Q, A, X, G)
+    tqa = jnp.transpose(tqa, (1, 0, 4, 2, 3, 5)).reshape(B, R * X, Q * A * G)
+    v2 = v_r.reshape(B, V, R * X)
+    out = jax.lax.dot_general(v2, tqa, (((2,), (1,)), ((0,), (0,))))
+    return out.reshape(B, V, Q, A, G)
+
+
 def masked_softmax_vqa_xla(logits, v_mask):
     """Flattened softmax over (V,Q,A) per glimpse with masked boxes zeroed
     (``attention.py:55-58``)."""
@@ -87,7 +117,7 @@ def masked_softmax_vqa_xla(logits, v_mask):
 
 
 def trilinear_attention_xla(v_r, q_r, a_r, T, v_mask):
-    return masked_softmax_vqa_xla(attention_logits_xla(v_r, q_r, a_r, T), v_mask)
+    return masked_softmax_vqa_xla(attention_logits_dg(v_r, q_r, a_r, T), v_mask)
 
 
 def trilinear_pool_xla(vt, qt, at, w):
@@ -161,7 +191,7 @@ _masked_softmax_pallas_vjp.defvjp(_softmax_fwd, _softmax_bwd)
 
 def trilinear_attention(v_r, q_r, a_r, T, v_mask, backend: str = "xla"):
     """Rank-decomposed trilinear attention: logits + masked softmax."""
-    logits = attention_logits_xla(v_r, q_r, a_r, T)
+    logits = attention_logits_dg(v_r, q_r, a_r, T)
     if backend == "pallas":
         return _masked_softmax_pallas_vjp(logits, v_mask)
     return masked_softmax_vqa_xla(logits, v_mask)
