@@ -183,3 +183,29 @@ def test_tri_pool_blocked_grid(rng):
         got = trilinear_pool_pallas(vt, qt, at, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
                                atol=2e-2)
+
+
+def test_gqav_layout_matches_vqag(tri_inputs):
+    """V-minor attention layout (logits+softmax) == the standard layout
+    transposed; qav pooling == the standard pool."""
+    from vqatpu.kernels.trilinear import (
+        attention_logits_gqav,
+        masked_softmax_gqav,
+        trilinear_pool_qav,
+    )
+
+    v_r, q_r, a_r, T, mask = tri_inputs
+    want = masked_softmax_vqa_xla(attention_logits_xla(v_r, q_r, a_r, T), mask)
+    got = masked_softmax_gqav(attention_logits_gqav(v_r, q_r, a_r, T), mask)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got, (0, 4, 2, 3, 1))),
+                               np.asarray(want), atol=1e-5)
+
+    rng2 = np.random.RandomState(9)
+    vt = jnp.asarray(rng2.randn(B, V, D).astype(np.float32))
+    qt = jnp.asarray(rng2.randn(B, Q, D).astype(np.float32))
+    at = jnp.asarray(rng2.randn(B, A, D).astype(np.float32))
+    w = want[..., 0]  # [B, V, Q, A]
+    want_pool = trilinear_pool_xla(vt, qt, at, w)
+    got_pool = trilinear_pool_qav(vt, qt, at, jnp.transpose(w, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(want_pool),
+                               rtol=2e-4, atol=1e-4)

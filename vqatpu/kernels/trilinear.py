@@ -106,6 +106,53 @@ def attention_logits_dg(v_r, q_r, a_r, T):
     return out.reshape(B, V, Q, A, G)
 
 
+def attention_logits_gqav(v_r, q_r, a_r, T):
+    """As :func:`attention_logits_dg` but emits [B, G, Q, A, V] — V-minor,
+    so the downstream softmax and pooling never touch a 2- or 3-wide minor
+    axis (the [B,V,Q,A,G] layout pays ~60x lane waste on every elementwise
+    pass over the attention tensor)."""
+    B, V, R, X = v_r.shape
+    Q = q_r.shape[1]
+    A = a_r.shape[1]
+    Z, Y, G = T.shape[3], T.shape[2], T.shape[4]
+    a2 = jnp.transpose(a_r, (2, 0, 1, 3)).reshape(R, B * A, Z)
+    T2 = jnp.transpose(T, (0, 3, 2, 1, 4)).reshape(R, Z, Y * X * G)
+    ta = jax.lax.dot_general(a2, T2, (((2,), (1,)), ((0,), (0,))))
+    ta = ta.reshape(R, B, A, Y, X * G)
+    ta = jnp.transpose(ta, (0, 1, 3, 2, 4)).reshape(R * B, Y, A * X * G)
+    q2 = jnp.transpose(q_r, (2, 0, 1, 3)).reshape(R * B, Q, Y)
+    tqa = jax.lax.dot_general(q2, ta, (((2,), (1,)), ((0,), (0,))))
+    tqa = tqa.reshape(R, B, Q, A, X, G)
+    tqa = jnp.transpose(tqa, (1, 0, 4, 2, 3, 5)).reshape(B, R * X, Q * A * G)
+    v2 = v_r.reshape(B, V, R * X)
+    # lhs/rhs swapped vs _dg: output [B, Q*A*G, V] keeps V minor
+    out = jax.lax.dot_general(tqa, v2, (((1,), (2,)), ((0,), (0,))))
+    return jnp.transpose(out.reshape(B, Q, A, G, V), (0, 3, 1, 2, 4))
+
+
+def masked_softmax_gqav(logits, v_mask):
+    """Masked softmax over (Q, A, V) per glimpse for the [B, G, Q, A, V]
+    layout (same math as :func:`masked_softmax_vqa_xla`)."""
+    mask5 = v_mask[:, None, None, None, :]
+    neg = jnp.where(mask5, logits, NEG_BIG)
+    m = jnp.max(neg, axis=(2, 3, 4), keepdims=True)
+    e = jnp.exp(neg - m) * mask5
+    return e / jnp.maximum(e.sum(axis=(2, 3, 4), keepdims=True), 1e-30)
+
+
+def trilinear_pool_qav(vt, qt, at, w):
+    """Pooling with V-minor attention: ``w`` [B, Q, A, V] (one glimpse of
+    the gqav layout).  Every tensor the big passes touch keeps a >=50-wide
+    minor (the [B,V,Q,A] path reads ``w`` through a 3-wide minor)."""
+    B, Q, A, V = w.shape
+    D = vt.shape[-1]
+    wv = jax.lax.dot_general(w.reshape(B, Q * A, V), vt,
+                             (((2,), (1,)), ((0,), (0,))))  # [B, QA, D]
+    wv = wv.reshape(B, Q, A, D)
+    m = (wv * qt[:, :, None, :]).sum(axis=1)  # [B, A, D]
+    return (m * at).sum(axis=1)               # [B, D]
+
+
 def masked_softmax_vqa_xla(logits, v_mask):
     """Flattened softmax over (V,Q,A) per glimpse with masked boxes zeroed
     (``attention.py:55-58``)."""

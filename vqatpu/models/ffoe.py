@@ -266,8 +266,17 @@ class CTIModel:
         else:
             v_ts = [None] * (1 + self.cfg.gamma)
 
-        att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask,
-                                  ctx, v_t=v_ts[0], return_logits=False)
+        # V-minor [B, G, Q, A, V] attention layout through the glimpse loop
+        # (the [B,V,Q,A,G] layout's 2/3-wide minor axes waste ~60x of every
+        # lane; see kernels.attention_logits_gqav + PROFILE.md).  The pallas
+        # backend keeps its own fused path/layout.
+        qav = self.cfg.kernel_backend != "pallas"
+        if qav:
+            att_g = self.t_att.apply_gqav(p["t_att"], v, q_state, a_state,
+                                          v_mask, ctx, v_t=v_ts[0])
+        else:
+            att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask,
+                                      ctx, v_t=v_ts[0], return_logits=False)
 
         def joint_fn(tp, v_, q_, a_, w_, sub_rng, v_t=None):
             # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace
@@ -276,6 +285,9 @@ class CTIModel:
             sub_ctx = (None if sub_rng is None else
                        Ctx(train=True, rng=sub_rng,
                            mask_bits=ctx.mask_bits if ctx else 32))
+            if qav:
+                return self.t_net.apply_with_weights_qav(
+                    tp, v_, q_, a_, w_, sub_ctx, v_t=v_t)
             return self.t_net.apply_with_weights(tp, v_, q_, a_, w_, sub_ctx,
                                                  v_t=v_t)
 
@@ -286,13 +298,18 @@ class CTIModel:
 
         for g in range(self.cfg.gamma):
             sub_rng = ctx.dropout_key() if (ctx is not None and ctx.train) else None
-            joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, att[..., g],
+            w_g = att_g[:, g] if qav else att[..., g]
+            joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, w_g,
                              sub_rng, v_t=v_ts[1 + g])
             q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
 
         pooled = q_state.sum(1) + a_state.sum(1)
         out = self.classifier.apply(p["classifier"], pooled, ctx)
+        if qav:
+            # API layout [B, V, Q, A, G]; dead code under jit when the
+            # caller (train/eval loss) discards the attention
+            att = jnp.transpose(att_g, (0, 4, 2, 3, 1))
         return out, att
 
     def _apply_blockwise(self, p, v, q_state, a_state, v_mask, ctx):

@@ -191,17 +191,28 @@ class TanModel:
         q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)
         a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
 
-        att, _ = self.v_att.apply(p["v_att"], v, q_state, a_state, v_mask, ctx,
-                                  return_logits=False)
+        # V-minor attention layout (see CTIModel.apply + PROFILE.md)
+        qav = self.cfg.kernel_backend != "pallas"
+        if qav:
+            att_g = self.v_att.apply_gqav(p["v_att"], v, q_state, a_state,
+                                          v_mask, ctx)
+        else:
+            att, _ = self.v_att.apply(p["v_att"], v, q_state, a_state, v_mask,
+                                      ctx, return_logits=False)
         for g in range(self.cfg.gamma):
-            joint = self.t_net.apply_with_weights(
-                p[f"t_net{g}"], v, q_state, a_state, att[..., g], ctx
-            )
+            if qav:
+                joint = self.t_net.apply_with_weights_qav(
+                    p[f"t_net{g}"], v, q_state, a_state, att_g[:, g], ctx)
+            else:
+                joint = self.t_net.apply_with_weights(
+                    p[f"t_net{g}"], v, q_state, a_state, att[..., g], ctx)
             q_state = self.prj.apply(p[f"q_prj{g}"], joint[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], joint[:, None, :], ctx) + a_state
 
         pooled = q_state.sum(1) + a_state.sum(1)
         out = self.classifier.apply(p["classifier"], pooled, ctx)
+        if qav:
+            att = jnp.transpose(att_g, (0, 4, 2, 3, 1))
         return out, att
 
 

@@ -128,6 +128,23 @@ class TriAttention:
         masked_logits = jnp.where(mask5, logits, NEG_INF)
         return att, masked_logits
 
+    def apply_gqav(self, p, v, q, a, v_mask: Optional[jnp.ndarray] = None,
+                   ctx: Optional[Ctx] = None,
+                   v_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Attention in the V-minor [B, G, Q, A, V] layout (the fast path
+        for the CTI glimpse loop — see kernels.attention_logits_gqav).
+        Same values as ``apply``'s att transposed; only the memory layout
+        differs."""
+        from vqatpu.kernels.trilinear import (attention_logits_gqav,
+                                              masked_softmax_gqav)
+
+        if v_mask is None:
+            v_mask = box_mask_from_features(v)
+        v_r, q_r, a_r, T = self.tc.rank_projections(p["tc"], v, q, a, ctx,
+                                                    v_t=v_t)
+        return masked_softmax_gqav(attention_logits_gqav(v_r, q_r, a_r, T),
+                                   v_mask)
+
 
 @config
 class StackedAttention:

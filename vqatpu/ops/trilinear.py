@@ -193,6 +193,20 @@ class TCNet:
         a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
         return v_t, q_t, a_t
 
+    def apply_with_weights_qav(self, p, v, q, a, w,
+                               ctx: Optional[Ctx] = None,
+                               v_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """As :meth:`apply_with_weights` but ``w`` is one glimpse of the
+        V-minor attention layout: [B, Q, A, V] (see
+        kernels.trilinear_pool_qav — same math, lane-efficient layout)."""
+        from vqatpu.kernels.trilinear import trilinear_pool_qav
+
+        if v_t is None:
+            v_t = self._tucker(self.v_dim, self.dropout[1]).apply(p["v_tucker"], v, ctx)
+        q_t = self._tucker(self.q_dim, self.dropout[0]).apply(p["q_tucker"], q, ctx)
+        a_t = self._tucker(self.a_dim, self.dropout[0]).apply(p["a_tucker"], a, ctx)
+        return trilinear_pool_qav(v_t, q_t, a_t, w)
+
     def apply_with_weights(self, p, v, q, a, w, ctx: Optional[Ctx] = None,
                            v_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Fused joint embedding with attention ``w`` [B, V, Q, A] -> [B, d]
