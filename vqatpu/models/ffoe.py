@@ -103,25 +103,30 @@ class BanModel:
         w = self.w_emb.apply(p["w_emb"], q, ctx)
         q_state = self.q_emb.apply_all(p["q_emb"], w, ctx)  # [B, Q, H]
 
-        att, logits = self.v_att.apply(p["v_att"], v, q_state, v_mask, ctx)
+        # V-minor [B, G, Q, V] attention layout through the glimpse loop
+        # (lane efficiency at (8,128) tiling — see PROFILE.md)
+        att_qv, logits_qv = self.v_att.apply_gqv(p["v_att"], v, q_state,
+                                                 v_mask, ctx)
         if self.counter is not None:
             boxes = jnp.swapaxes(b[:, :, :4], 1, 2)  # [B, 4, V]
 
         q_states = []
         for g in range(self.cfg.gamma):
-            b_emb = self.b_net.apply_with_weights(
-                p[f"b_net{g}"], v, q_state, att[:, g], ctx
+            b_emb = self.b_net.apply_with_weights_qv(
+                p[f"b_net{g}"], v, q_state, att_qv[:, g], ctx
             )
             q_state = self.q_prj.apply(p[f"q_prj{g}"], b_emb[:, None, :], ctx) + q_state
             if self.counter is not None:
                 # per-box max logit over Q; -inf on padded boxes -> sigmoid 0
-                atten = logits[:, g].max(axis=2)
+                atten = logits_qv[:, g].max(axis=1)
                 embed = self.counter.apply(p["counter"], boxes, atten, ctx)
                 q_state = q_state + self.c_prj.apply(p[f"c_prj{g}"], embed, ctx)[:, None, :]
             q_states.append(q_state)
 
         pooled = jnp.stack(q_states, 1).sum(1)  # [B, Q, H]
         out = self.classifier.apply(p["classifier"], pooled.sum(1), ctx)
+        # API layout [B, G, V, Q]; dead code when the caller discards att
+        att = jnp.swapaxes(att_qv, 2, 3)
         return out, att
 
 

@@ -104,26 +104,29 @@ class BanModelMC:
         wa = self.w_emb.apply(p["wa_emb"], a, ctx)
         a_state = self.q_emb.apply_all(p["ans_emb"], wa, ctx)
 
-        att, logits = self.v_att.apply(p["v_att"], v, q_state, v_mask, ctx)
-        va_att, _ = self.v_att.apply(p["va_att"], v, a_state, v_mask, ctx)
+        # V-minor layout (see BanModel FFOE + PROFILE.md)
+        att_qv, logits_qv = self.v_att.apply_gqv(p["v_att"], v, q_state,
+                                                 v_mask, ctx)
+        va_att_qv, _ = self.v_att.apply_gqv(p["va_att"], v, a_state,
+                                            v_mask, ctx)
         if self.counter is not None:
             boxes = jnp.swapaxes(b[:, :, :4], 1, 2)
 
         for g in range(self.cfg.gamma):
-            b_emb = self.b_net.apply_with_weights(p[f"b_net{g}"], v, q_state,
-                                                  att[:, g], ctx)
-            va_emb = self.b_net.apply_with_weights(p[f"tva_net{g}"], v, a_state,
-                                                   va_att[:, g], ctx)
+            b_emb = self.b_net.apply_with_weights_qv(
+                p[f"b_net{g}"], v, q_state, att_qv[:, g], ctx)
+            va_emb = self.b_net.apply_with_weights_qv(
+                p[f"tva_net{g}"], v, a_state, va_att_qv[:, g], ctx)
             q_state = self.prj.apply(p[f"q_prj{g}"], b_emb[:, None, :], ctx) + q_state
             a_state = self.prj.apply(p[f"a_prj{g}"], va_emb[:, None, :], ctx) + a_state
             if self.counter is not None:
-                atten = logits[:, g].max(axis=2)
+                atten = logits_qv[:, g].max(axis=1)
                 embed = self.counter.apply(p["counter"], boxes, atten, ctx)
                 q_state = q_state + self.c_prj.apply(p[f"c_prj{g}"], embed, ctx)[:, None, :]
 
         pooled = q_state.sum(1) + a_state.sum(1)
         out = self.classifier.apply(p["classifier"], pooled, ctx)
-        return out, att
+        return out, jnp.swapaxes(att_qv, 2, 3)
 
 
 @config

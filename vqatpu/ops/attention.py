@@ -77,6 +77,21 @@ class BiAttention:
         masked_logits = jnp.where(mask4, logits, NEG_INF)
         return att, masked_logits
 
+    def apply_gqv(self, p, v, q, v_mask: Optional[jnp.ndarray] = None,
+                  ctx: Optional[Ctx] = None):
+        """Attention in the V-minor [B, G, Q, V] layout (values == ``apply``
+        transposed; see BCNet.apply_qv / PROFILE.md).  Returns
+        (att, masked logits), both [B, G, Q, V]."""
+        h_v = p["bc"]["h_mat"]
+        h_mat = (p["h_mat_g"] / jnp.linalg.norm(h_v.reshape(-1))) * h_v
+        logits = self.bc.apply_qv(p["bc"], v, q, ctx, h_mat_override=h_mat)
+        if v_mask is None:
+            v_mask = box_mask_from_features(v)
+        mask4 = v_mask[:, None, None, :]  # [B,1,1,V]
+        att = masked_softmax(logits, mask4, axes=(2, 3))
+        masked_logits = jnp.where(mask4, logits, NEG_INF)
+        return att, masked_logits
+
 
 @config
 class TriAttention:

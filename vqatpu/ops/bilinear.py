@@ -94,6 +94,31 @@ class BCNet:
         logits = WNLinear(self.d, self.h_out).apply(p["h_net"], d_)  # [B,V,Q,h_out]
         return jnp.transpose(logits, (0, 3, 1, 2))
 
+    def apply_qv(self, p, v, q, ctx: Optional[Ctx] = None,
+                 h_mat_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Attention-regime logits in the V-minor [B, G, Q, V] layout (same
+        values as ``apply`` transposed; V=50 minor instead of Q=12 — the
+        (8,128)-tile lane-efficiency argument, see PROFILE.md)."""
+        assert self.h_out is not None and self.h_out <= ATT_REGIME_MAX
+        v_ = self.v_net.apply(p["v_net"], v, ctx)
+        q_ = self.q_net.apply(p["q_net"], q, ctx)
+        h_mat = p["h_mat"] if h_mat_override is None else h_mat_override
+        v_ = dropout(v_, self.dropout[1], ctx)
+        logits = jnp.einsum("bqd,gd,bvd->bgqv", q_, h_mat[0, :, 0, :], v_)
+        return logits + p["h_bias"]  # [1, G, 1, 1] broadcasts
+
+    def apply_with_weights_qv(self, p, v, q, w_qv,
+                              ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        """As :meth:`apply_with_weights` with ``w_qv`` [B, Q, V] (one glimpse
+        of the V-minor layout): the pool's w-read keeps a 50-wide minor."""
+        v_ = self.v_net.apply(p["v_net"], v, ctx)  # [B, V, d]
+        q_ = self.q_net.apply(p["q_net"], q, ctx)  # [B, Q, d]
+        wv = jax.lax.dot_general(w_qv, v_, (((2,), (1,)), ((0,), (0,))))
+        logits = (wv * q_).sum(axis=1)  # [B, d]
+        if self.k > 1:
+            logits = logits.reshape(logits.shape[0], self.h_dim, self.k).sum(-1)
+        return logits
+
     def apply_with_weights(self, p, v, q, w, ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """``v^T · w · q`` bilinear pooling (``bc.py:70-78``).
 
