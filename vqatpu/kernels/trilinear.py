@@ -22,14 +22,14 @@ Engineering notes (measured on TPU v5e, jax 0.9 / Mosaic):
 Both Pallas entry points carry ``jax.custom_vjp`` with factored-einsum
 backward passes, so they are training-safe.
 
-Measured (v5e, CTI train step, batch 256, value-readback barrier): XLA
-backend 17.3 ms/step, Pallas backend 18.0 — XLA's fusion already handles
-these small shapes and the per-sample grid launch overhead costs more than
-the saved HBM traffic, so ``kernel_backend="xla"`` is the default; the
-kernels remain available (TPU-validated for numerics; interpret-mode parity
-in tests/test_kernels.py).  The contraction order here (A, then Q, then the
-rank*h_sub GEMM against V) is measured-fastest: 5.1 ms fwd+bwd for the
-chain vs 11.4 (Q-first) and 23.4 (V-first).
+Measured verdicts live in PROFILE.md.  Headlines: the A-then-Q-then-V
+contraction order is measured-fastest (5.1 vs 11.4/23.4 ms r1); the
+r2 lane-efficiency relayout (:func:`attention_logits_dg` /
+:func:`attention_logits_gqav` — keep every big intermediate's minor axis
+wide for the (8,128) VMEM tiling) took the chain 5.7 -> 2.6 ms and is the
+production path; the Pallas kernels are numerics-validated on-chip but
+lose to XLA at every measured shape, so ``kernel_backend="xla"`` stays
+default.
 """
 
 from __future__ import annotations
