@@ -171,3 +171,33 @@ def test_fused_v_tucker_eval_parity_and_grads(rng):
         sub = g[name]["tc"] if name == "t_att" else g[name]
         gv = np.asarray(sub["v_tucker"]["l0"]["v"])
         assert np.isfinite(gv).all() and np.abs(gv).sum() > 0, name
+
+
+def test_cti_api_att_matches_standard_path(rng):
+    """The att a CTI/BAN model returns (API layout) equals the standard
+    TriAttention/BiAttention apply() result — guards the V-minor internal
+    layout's final transpose."""
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    p = m.init(jax.random.PRNGKey(11))
+    batch = tiny_batch(rng)
+    _, att = m.apply(p, batch)
+
+    from vqatpu.ops.rnn import QuestionEmbedding
+
+    w = m.w_emb.apply(p["w_emb"], batch["q"])
+    qs = m.q_emb.apply_all(p["q_emb"], w)
+    wa = m.w_emb.apply(p["wa_emb"], batch["a"])
+    as_ = m.q_emb.apply_all(p["ans_emb"], wa)
+    want, _ = m.t_att.apply(p["t_att"], batch["v"], qs, as_, batch["v_mask"])
+    np.testing.assert_allclose(np.asarray(att), np.asarray(want), atol=1e-5)
+
+    cfg_b = tiny_cfg(model="ban")
+    mb = build_model(cfg_b)
+    pb = mb.init(jax.random.PRNGKey(12))
+    _, att_b = mb.apply(pb, batch)
+    wq = mb.w_emb.apply(pb["w_emb"], batch["q"])
+    qsb = mb.q_emb.apply_all(pb["q_emb"], wq)
+    want_b, _ = mb.v_att.apply(pb["v_att"], batch["v"], qsb, batch["v_mask"])
+    np.testing.assert_allclose(np.asarray(att_b), np.asarray(want_b),
+                               atol=1e-5)
