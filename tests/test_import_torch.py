@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from vqatpu.config import ModelConfig
 from vqatpu.models import build_model
+from vqatpu.ops.tensor import (paralind_core_scramble,
+                               paralind_core_unscramble)
 from vqatpu.tools.import_torch import convert_state_dict
 
 NTOKEN, V_DIM, NUM_ANS = 25, 12, 6
@@ -172,7 +174,10 @@ def test_cti_import_structure(rng):
     tc = ref["t_att"]["tc"]
     for tk in ("v_tucker", "q_tucker", "a_tucker"):
         put_fcnet(f"t_att.TriAtt.{tk}", tc[tk])
-    sd["t_att.TriAtt.T_g"] = np.asarray(tc["T_g"])[None]
+    # a reference checkpoint stores the core in ModeProduct's scrambled
+    # layout (Tensor.py:6-9); the importer unscrambles it back
+    sd["t_att.TriAtt.T_g"] = np.asarray(
+        paralind_core_scramble(np.asarray(tc["T_g"])[..., 0])[..., None])[None]
     for stream in ("v_net", "q_net", "a_net"):
         for r in range(cfg.rank):
             put_fcnet(f"t_att.TriAtt.{stream}.{r}",
@@ -282,10 +287,13 @@ class TorchCTI(nn.Module):
         q_t = tri.q_tucker(q_emb)
         a_t = tri.a_tucker(ans_emb)
         logits = 0
+        # faithful ModeProduct semantics: the stored core is element-
+        # scrambled (Tensor.py:6-9); unscramble before the clean einsum
+        T_u = paralind_core_unscramble(tri.T_g[0, ..., 0])
         for r in range(RANK):
             logits = logits + torch.einsum(
                 "bix,bjy,blz,xyzg->bijlg", tri.v_net[r](v_t),
-                tri.q_net[r](q_t), tri.a_net[r](a_t), tri.T_g[0, r, ..., 0])
+                tri.q_net[r](q_t), tri.a_net[r](a_t), T_u[r])
         mask = (v.abs().sum(2) != 0)
         b_, v_n, q_n, a_n = v.shape[0], v.shape[1], q.shape[1], a.shape[1]
         neg = logits.masked_fill(~mask[:, :, None, None, None], -float("inf"))

@@ -100,3 +100,8 @@ class TrainConfig:
     # scale using the exact realized probability — unbiased)
     mask_bits: int = 32
     ckpt_backend: str = "pickle"  # or "orbax" (multi-host/sharded restore)
+    # True disables dropout inside the train step (the only train/eval
+    # behavioral difference in these models).  Used by the reference
+    # trajectory-parity tests, where torch/jax RNG streams can never align,
+    # and for debugging; no reference analogue.
+    deterministic: bool = False

@@ -26,7 +26,12 @@ from vqatpu.ops.module import Ctx, config
 @config
 class PiecewiseLin:
     """Monotonic piecewise-linear activation on [0, 1] with n segments
-    (``counting.py:148-176``). Weight[0] stays 0: |.|' at 0 is 0."""
+    (``counting.py:148-176``). Weight[0] is pinned at 0 by the gradient:
+    torch's abs backward is ``grad * sign(x)`` with ``sign(0) == 0``, so the
+    zero-initialized first weight never moves ("always 0 with a 0 gradient",
+    ``counting.py:154``).  ``jnp.abs``'s derivative at 0 is +1, which WOULD
+    let it drift — ``x * sign(x)`` reproduces torch's subgradient exactly
+    (same value, derivative ``sign(x)``)."""
 
     n: int = 16
 
@@ -36,7 +41,7 @@ class PiecewiseLin:
         return {"weight": w.at[0].set(0.0)}
 
     def apply(self, p, x: jnp.ndarray) -> jnp.ndarray:
-        w = jnp.abs(p["weight"])
+        w = p["weight"] * jnp.sign(p["weight"])
         w = w / w.sum()
         csum = jnp.cumsum(w)
         y = self.n * x

@@ -40,12 +40,17 @@ class WordEmbedding:
         return self.emb_dim * (2 if self.cat else 1)
 
     def init(self, key: jax.Array):
-        # torch nn.Embedding default: N(0, 1), pad row zeroed.
+        # torch nn.Embedding default: N(0, 1), pad row zeroed.  apply() masks
+        # pad lookups so the stored pad row is never read here, but it IS
+        # read by torch after export_torch transplants these params — keep it
+        # zero so both frameworks agree (torch returns weight[padding_idx]
+        # verbatim for pad tokens).
         k1, k2 = jax.random.split(key)
         shape = (self.ntoken + 1, self.emb_dim)
-        p = {"emb": jax.random.normal(k1, shape)}
+        pad = jnp.zeros((1, self.emb_dim))
+        p = {"emb": jax.random.normal(k1, shape).at[-1:].set(pad)}
         if self.cat:
-            p["emb_"] = jax.random.normal(k2, shape)
+            p["emb_"] = jax.random.normal(k2, shape).at[-1:].set(pad)
         return p
 
     def load_pretrained(

@@ -28,6 +28,8 @@ from typing import Dict
 
 import numpy as np
 
+from vqatpu.ops.tensor import paralind_core_scramble
+
 
 def _np(x):
     return np.asarray(x, np.float32)
@@ -106,7 +108,12 @@ def _put_tcnet(sd, prefix, tc, p):
     _put_fcnet(sd, prefix + ".a_tucker", tc._tucker(tc.a_dim, tc.dropout[0]),
                p["a_tucker"])
     if "T_g" in p:
-        sd[prefix + ".T_g"] = _np(p["T_g"])[None]
+        # vqatpu stores the clean-einsum core; the reference's ModeProduct
+        # reads a scrambled layout (ops/tensor.py:paralind_core_unscramble) —
+        # export the inverse so the reference computes identical logits
+        t_g = _np(p["T_g"])
+        assert t_g.shape[-1] == 1, "ModeProduct only runs with h_out 1"
+        sd[prefix + ".T_g"] = paralind_core_scramble(t_g[..., 0])[..., None][None]
         for stream, drop in (("v_net", tc.dropout[1]), ("q_net", tc.dropout[0]),
                              ("a_net", tc.dropout[0])):
             net = tc._rank_net(drop)

@@ -25,6 +25,8 @@ from typing import Dict
 
 import numpy as np
 
+from vqatpu.ops.tensor import paralind_core_unscramble
+
 
 def _np(x):
     if hasattr(x, "detach"):
@@ -123,8 +125,14 @@ def _tcnet(sd, prefix, rank: int):
            "q_tucker": _fcnet(sd, prefix + ".q_tucker"),
            "a_tucker": _fcnet(sd, prefix + ".a_tucker")}
     if prefix + ".T_g" in sd:
-        # reference core [1, rank, x, y, z, g, h_out] -> [rank, x, y, z, g, h_out]
-        out["T_g"] = sd[prefix + ".T_g"][0]
+        # reference core [1, rank, x, y, z, g, h_out] -> [rank, x, y, z, g, h_out],
+        # unscrambled into vqatpu's clean einsum parameterization: the
+        # reference's ModeProduct applies a fixed element permutation to the
+        # stored core (Tensor.py:6-9 mismatched view split — see
+        # ops/tensor.py:paralind_core_unscramble).
+        t_g = sd[prefix + ".T_g"][0]
+        assert t_g.shape[-1] == 1, "ModeProduct only runs with h_out 1"
+        out["T_g"] = paralind_core_unscramble(t_g[..., 0])[..., None]
         for stream in ("v_net", "q_net", "a_net"):
             per_rank = [_fcnet(sd, f"{prefix}.{stream}.{r}") for r in range(rank)]
             out[stream] = {

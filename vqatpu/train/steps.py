@@ -122,7 +122,9 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
         if cfg.rng_impl == "rbg":
             from vqatpu.ops.module import fast_rng
             rng = fast_rng(rng)
-        ctx = Ctx(train=True, rng=rng, mask_bits=cfg.mask_bits)
+        # train=True only gates dropout in these models; cfg.deterministic
+        # turns it off for trajectory-parity runs against the torch reference
+        ctx = Ctx(train=not cfg.deterministic, rng=rng, mask_bits=cfg.mask_bits)
         if half is not None:
             # bf16 activations/params in the forward+backward; f32 master
             # params, loss, and optimizer state stay outside.
