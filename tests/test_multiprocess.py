@@ -50,15 +50,24 @@ def _single_process_loss():
             float(np.asarray(ev["score"])))
 
 
-def test_two_process_train_step_matches_single():
+def _free_port() -> int:
+    """Ephemeral port for the jax.distributed coordinator — a hardcoded port
+    collides when two test runs (or a stale worker) overlap."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step_matches_single(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    ckpt = os.path.join(REPO, ".pytest_mp_orbax")
-    import shutil
-    shutil.rmtree(ckpt, ignore_errors=True)
+    ckpt = str(tmp_path / "mp_orbax")
+    port = _free_port()
     procs = [
-        subprocess.Popen([sys.executable, WORKER, str(pid), "2", "19747",
+        subprocess.Popen([sys.executable, WORKER, str(pid), "2", str(port),
                           ckpt],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True, cwd=REPO)
@@ -92,4 +101,3 @@ def test_two_process_train_step_matches_single():
         assert abs(got_s - want_score) < 1e-4 * max(1.0, abs(want_score)), (
             got_s, want_score)
         assert "ORBAX OK" in out, out[-2000:]
-    shutil.rmtree(ckpt, ignore_errors=True)

@@ -121,3 +121,64 @@ def test_gru_dual_scan_matches_separate(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
                                atol=1e-6)
+
+
+def test_gru_two_layer_matches_torch(rng):
+    """Stacked GRU (nlayers=2): torch feeds layer 1 with layer 0's output
+    (language_model.py:51-66 allows nlayers; builders pass 1)."""
+    torch.manual_seed(6)
+    B, T, F, H = 3, 9, 14, 11
+    rnn = nn.GRU(F, H, 2, batch_first=True)
+    x = rng.randn(B, T, F).astype(np.float32)
+    want, _ = rnn(torch.from_numpy(x))
+    qe = QuestionEmbedding(F, H, nlayers=2)
+    p = {
+        "fwd": gru_params_from_torch(rnn, "l0"),
+        "fwd_l1": gru_params_from_torch(rnn, "l1"),
+    }
+    got = qe.apply_all(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+    # init shapes match the oracle param tree
+    init = qe.init(jax.random.PRNGKey(0))
+    assert set(init) == {"fwd", "fwd_l1"}
+    assert init["fwd_l1"]["w_ih"].shape == (3 * H, H)
+
+
+def test_gru_two_layer_bidirectional_matches_torch(rng):
+    """2-layer bidirectional stack: layer 1 input is layer 0's fwd+bwd
+    concat (2H wide)."""
+    torch.manual_seed(7)
+    B, T, F, H = 2, 6, 8, 5
+    rnn = nn.GRU(F, H, 2, batch_first=True, bidirectional=True)
+    x = rng.randn(B, T, F).astype(np.float32)
+    want, _ = rnn(torch.from_numpy(x))
+    qe = QuestionEmbedding(F, H, bidirect=True, nlayers=2)
+    p = {
+        "fwd": gru_params_from_torch(rnn, "l0"),
+        "bwd": gru_params_from_torch(rnn, "l0_reverse"),
+        "fwd_l1": gru_params_from_torch(rnn, "l1"),
+        "bwd_l1": gru_params_from_torch(rnn, "l1_reverse"),
+    }
+    got = qe.apply_all(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+    init = qe.init(jax.random.PRNGKey(0))
+    assert init["fwd_l1"]["w_ih"].shape == (3 * H, 2 * H)
+
+
+def test_gru_multilayer_export_import_roundtrip(rng):
+    """Stacked-GRU params survive export->import through the torch naming
+    (weight_ih_l{i}[_reverse])."""
+    from vqatpu.tools.export_torch import _put_gru
+    from vqatpu.tools.import_torch import _gru
+
+    qe = QuestionEmbedding(10, 6, bidirect=True, nlayers=3)
+    p = qe.init(jax.random.PRNGKey(1))
+    sd = {}
+    _put_gru(sd, "q_emb", p)
+    assert "q_emb.rnn.weight_ih_l2_reverse" in sd
+    back = _gru(sd, "q_emb")
+    assert set(back) == set(p)
+    for k in p:
+        for leaf in p[k]:
+            np.testing.assert_allclose(np.asarray(p[k][leaf]),
+                                       np.asarray(back[k][leaf]))

@@ -33,6 +33,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=["relu", "swish"])
     parser.add_argument("--dropout", default=0.5, type=float)
     parser.add_argument("--question_len", default=12, type=int)
+    parser.add_argument("--num_layers", default=1, type=int,
+                        help="GRU stack depth (reference signature allows "
+                             "it, language_model.py:51-66; builders use 1)")
     parser.add_argument("--seed", type=int, default=1204)
     parser.add_argument("--print_interval", default=200, type=int)
     parser.add_argument("--use_TDIUC", action="store_true", default=False)
@@ -94,6 +97,7 @@ def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:
         gamma=args.gamma,
         activation=args.activation,
         dropout=args.dropout,
+        num_layers=getattr(args, "num_layers", 1),
         use_counter=args.use_counter,
         num_stacks=args.num_stacks,
         h_mm=args.h_mm,

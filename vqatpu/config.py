@@ -23,6 +23,10 @@ class ModelConfig:
     gamma: int = 2  # glimpses
     activation: str = "relu"
     dropout: float = 0.5
+    # GRU stack depth.  The reference's QuestionEmbedding signature allows
+    # nlayers (language_model.py:51-66) though every builder passes 1 —
+    # exposed here as --num_layers; torch-oracle tested for 2-layer stacks.
+    num_layers: int = 1
     use_counter: bool = False
     objects: int = 10  # counter top-k (FFOE/base_model.py:149)
     num_stacks: int = 2  # SAN
@@ -50,6 +54,10 @@ class ModelConfig:
     # reference's independent-mask semantics; the knob remains for large-V
     # regimes where re-reading v dominates.  Ignored under remat_glimpse
     # (fusing would force storing the tucker activations remat avoids).
+    # Incompatible with a tensor-parallel model axis: param_shardings shards
+    # only the t_net tuckers, so fusing them with the replicated t_att
+    # tucker would force an all-gather every step (guarded where TP is
+    # enabled: train() and dryrun_multichip).
     fused_v_tucker: bool = False
     # rematerialize the per-glimpse joint-embedding computation under
     # jax.checkpoint: trades ~1 extra forward of the t_net tuckers for not

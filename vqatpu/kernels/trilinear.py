@@ -50,6 +50,13 @@ def attention_logits_xla(v_r, q_r, a_r, T):
     """v_r [B,V,R,X], q_r [B,Q,R,Y], a_r [B,A,R,Z], T [R,X,Y,Z,G]
     -> logits [B,V,Q,A,G].
 
+    NAMING NOTE: since r2 the PRODUCTION '_xla'-backend entry points
+    (``trilinear_attention_xla``, ``TriAttention(backend='xla')``) route
+    through :func:`attention_logits_dg`, the hand-laid-out dot_general
+    relayout.  This einsum variant survives as the readable oracle for tests
+    and as the A/B baseline — benchmarks of "the einsum path" must call it
+    directly.
+
     Contraction order: contract the small A axis into T first, then Q, then
     the MXU-friendly [V, R*X] x [R*X, Q*A*G] GEMM last.
     """

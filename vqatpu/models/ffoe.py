@@ -48,7 +48,8 @@ class BanModel:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def v_att(self):
@@ -142,7 +143,8 @@ class StackedAttentionModel:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def v_att(self):
@@ -188,7 +190,8 @@ class CTIModel:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def t_att(self):

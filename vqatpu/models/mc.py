@@ -42,7 +42,8 @@ class BanModelMC:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def v_att(self):
@@ -142,7 +143,8 @@ class TanModel:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def v_att(self):
@@ -232,7 +234,8 @@ class StackedAttentionModelMC:
 
     @property
     def q_emb(self):
-        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid)
+        return QuestionEmbedding(self.cfg.word_dim, self.cfg.num_hid,
+                                 nlayers=self.cfg.num_layers)
 
     @property
     def v_att(self):

@@ -123,47 +123,85 @@ def gru_dual_apply_all(p_q, p_a, x_q: jnp.ndarray, x_a: jnp.ndarray,
 
 @config
 class QuestionEmbedding:
-    """Single-layer GRU/LSTM encoder (reference ``language_model.py:50-98``).
+    """GRU/LSTM encoder (reference ``language_model.py:50-98``).
 
     ``apply_all`` returns every step's hidden state ([B, T, H·ndir]);
     ``apply_last`` returns the final state (concat fwd-last/bwd-first when
     bidirectional), matching ``QuestionEmbedding.forward``.
+
+    ``nlayers``: stacked layers with torch ``nn.GRU(num_layers=...)``
+    semantics — layer ``i > 0`` consumes layer ``i-1``'s (direction-concat)
+    output, with inter-layer dropout applied to every layer's output except
+    the last (torch RNN ``dropout=`` behavior).  The reference's builders
+    all pass 1 (``base_model.py:141`` etc.), but the component signature
+    allows it (``language_model.py:51-66``) — parity-tested vs torch for
+    2-layer and bidirectional stacks.
     """
 
     in_dim: int
     num_hid: int
     bidirect: bool = False
     rnn_type: str = "GRU"  # "GRU" | "LSTM"
+    nlayers: int = 1
+    dropout: float = 0.0  # between layers only, like torch nn.RNNBase
 
     @property
     def _ngates(self) -> int:
         return 3 if self.rnn_type == "GRU" else 4
 
-    def _init_dir(self, key: jax.Array):
+    @property
+    def _ndir(self) -> int:
+        return 2 if self.bidirect else 1
+
+    def _layer_in_dim(self, layer: int) -> int:
+        return self.in_dim if layer == 0 else self.num_hid * self._ndir
+
+    def _init_dir(self, key: jax.Array, in_dim: int):
         k = jax.random.split(key, 4)
         H, G = self.num_hid, self._ngates
         bound = 1.0 / (H ** 0.5)
         return {
-            "w_ih": uniform(k[0], (G * H, self.in_dim), bound),
+            "w_ih": uniform(k[0], (G * H, in_dim), bound),
             "w_hh": uniform(k[1], (G * H, H), bound),
             "b_ih": uniform(k[2], (G * H,), bound),
             "b_hh": uniform(k[3], (G * H,), bound),
         }
 
+    @staticmethod
+    def _dir_keys(layer: int):
+        """Param keys for a layer's directions; layer 0 keeps the flat
+        'fwd'/'bwd' names so single-layer checkpoints are unchanged."""
+        suffix = "" if layer == 0 else f"_l{layer}"
+        return f"fwd{suffix}", f"bwd{suffix}"
+
     def init(self, key: jax.Array):
-        if not self.bidirect:
-            return {"fwd": self._init_dir(key)}
-        kf, kb = jax.random.split(key)
-        return {"fwd": self._init_dir(kf), "bwd": self._init_dir(kb)}
+        p = {}
+        keys = jax.random.split(key, 2 * self.nlayers)
+        for layer in range(self.nlayers):
+            fk, bk = self._dir_keys(layer)
+            d = self._layer_in_dim(layer)
+            p[fk] = self._init_dir(keys[2 * layer], d)
+            if self.bidirect:
+                p[bk] = self._init_dir(keys[2 * layer + 1], d)
+        return p
 
     def _run(self, p_dir, x, reverse: bool):
         scan = _gru_scan if self.rnn_type == "GRU" else _lstm_scan
         return scan(x, p_dir["w_ih"], p_dir["w_hh"], p_dir["b_ih"], p_dir["b_hh"], reverse)
 
     def apply_all(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
-        out = self._run(p["fwd"], x, reverse=False)
-        if self.bidirect:
-            out = jnp.concatenate([out, self._run(p["bwd"], x, reverse=True)], axis=-1)
+        from vqatpu.ops.module import dropout as _dropout
+
+        out = x
+        for layer in range(self.nlayers):
+            fk, bk = self._dir_keys(layer)
+            if layer > 0:
+                out = _dropout(out, self.dropout, ctx)
+            fwd = self._run(p[fk], out, reverse=False)
+            if self.bidirect:
+                fwd = jnp.concatenate(
+                    [fwd, self._run(p[bk], out, reverse=True)], axis=-1)
+            out = fwd
         return out
 
     def apply_last(self, p, x: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:

@@ -61,12 +61,20 @@ def _put_fcnet(sd, prefix, fcnet, p):
 
 
 def _put_gru(sd, prefix, p):
-    for name, sub in (("", p["fwd"]),) + ((("_reverse", p["bwd"]),)
-                                          if "bwd" in p else ()):
-        sd[f"{prefix}.rnn.weight_ih_l0{name}"] = _np(sub["w_ih"])
-        sd[f"{prefix}.rnn.weight_hh_l0{name}"] = _np(sub["w_hh"])
-        sd[f"{prefix}.rnn.bias_ih_l0{name}"] = _np(sub["b_ih"])
-        sd[f"{prefix}.rnn.bias_hh_l0{name}"] = _np(sub["b_hh"])
+    # layer 0 keys are 'fwd'/'bwd'; stacked layers 'fwd_l{i}'/'bwd_l{i}'
+    # (ops/rnn.py QuestionEmbedding._dir_keys); torch names them
+    # weight_ih_l{i}[_reverse] on the flat nn.GRU/LSTM module
+    nlayers = 1 + sum(1 for k in p if k.startswith("fwd_l"))
+    for layer in range(nlayers):
+        suffix = "" if layer == 0 else f"_l{layer}"
+        pairs = [("", p[f"fwd{suffix}"])]
+        if f"bwd{suffix}" in p:
+            pairs.append(("_reverse", p[f"bwd{suffix}"]))
+        for name, sub in pairs:
+            sd[f"{prefix}.rnn.weight_ih_l{layer}{name}"] = _np(sub["w_ih"])
+            sd[f"{prefix}.rnn.weight_hh_l{layer}{name}"] = _np(sub["w_hh"])
+            sd[f"{prefix}.rnn.bias_ih_l{layer}{name}"] = _np(sub["b_ih"])
+            sd[f"{prefix}.rnn.bias_hh_l{layer}{name}"] = _np(sub["b_hh"])
 
 
 def _put_word_emb(sd, prefix, p):

@@ -66,20 +66,28 @@ def _fcnet(sd, prefix):
             for j, i in enumerate(idxs)}
 
 
+def _gru_dir(sd, prefix, layer, rev):
+    name = f"l{layer}{'_reverse' if rev else ''}"
+    return {
+        "w_ih": sd[f"{prefix}.rnn.weight_ih_{name}"],
+        "w_hh": sd[f"{prefix}.rnn.weight_hh_{name}"],
+        "b_ih": sd[f"{prefix}.rnn.bias_ih_{name}"],
+        "b_hh": sd[f"{prefix}.rnn.bias_hh_{name}"],
+    }
+
+
 def _gru(sd, prefix):
-    out = {"fwd": {
-        "w_ih": sd[prefix + ".rnn.weight_ih_l0"],
-        "w_hh": sd[prefix + ".rnn.weight_hh_l0"],
-        "b_ih": sd[prefix + ".rnn.bias_ih_l0"],
-        "b_hh": sd[prefix + ".rnn.bias_hh_l0"],
-    }}
+    # torch flat nn.GRU/LSTM layers -> ops/rnn.py layer keys ('fwd'/'bwd'
+    # for layer 0, 'fwd_l{i}'/'bwd_l{i}' beyond)
+    out = {"fwd": _gru_dir(sd, prefix, 0, rev=False)}
     if prefix + ".rnn.weight_ih_l0_reverse" in sd:
-        out["bwd"] = {
-            "w_ih": sd[prefix + ".rnn.weight_ih_l0_reverse"],
-            "w_hh": sd[prefix + ".rnn.weight_hh_l0_reverse"],
-            "b_ih": sd[prefix + ".rnn.bias_ih_l0_reverse"],
-            "b_hh": sd[prefix + ".rnn.bias_hh_l0_reverse"],
-        }
+        out["bwd"] = _gru_dir(sd, prefix, 0, rev=True)
+    layer = 1
+    while f"{prefix}.rnn.weight_ih_l{layer}" in sd:
+        out[f"fwd_l{layer}"] = _gru_dir(sd, prefix, layer, rev=False)
+        if f"{prefix}.rnn.weight_ih_l{layer}_reverse" in sd:
+            out[f"bwd_l{layer}"] = _gru_dir(sd, prefix, layer, rev=True)
+        layer += 1
     return out
 
 

@@ -86,6 +86,16 @@ def _merge_opt_state(payload_node, template_node):
         return optax.MaskedState(inner_state=_merge_opt_state(
             payload_node, template_node.inner_state))
     if isinstance(template_node, dict):
+        if not isinstance(payload_node, dict):
+            raise ValueError(
+                "incompatible checkpoint: opt_state has "
+                f"{type(payload_node).__name__} where the current optimizer "
+                "expects a dict — checkpoint from a different model/optimizer?")
+        missing = [k for k in template_node if k not in payload_node]
+        if missing:
+            raise ValueError(
+                f"incompatible checkpoint: opt_state missing keys {missing} "
+                "— checkpoint from a different model/optimizer?")
         return {k: _merge_opt_state(payload_node[k], v)
                 for k, v in template_node.items()}
     if hasattr(template_node, "_fields"):  # namedtuple (optax states)
@@ -98,8 +108,10 @@ def _merge_opt_state(payload_node, template_node):
     if isinstance(template_node, (list, tuple)):
         return type(template_node)(
             _merge_opt_state(a, b) for a, b in zip(payload_node, template_node))
-    assert np.shape(payload_node) == np.shape(template_node), (
-        np.shape(payload_node), np.shape(template_node))
+    if np.shape(payload_node) != np.shape(template_node):
+        raise ValueError(
+            f"incompatible checkpoint: opt_state leaf shape "
+            f"{np.shape(payload_node)} != expected {np.shape(template_node)}")
     return jax.numpy.asarray(payload_node)
 
 
@@ -110,7 +122,10 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
     payload = load_checkpoint(path)
 
     def check_and_cast(new, old):
-        assert np.shape(new) == np.shape(old), (np.shape(new), np.shape(old))
+        if np.shape(new) != np.shape(old):
+            raise ValueError(
+                f"incompatible checkpoint: param shape {np.shape(new)} != "
+                f"model shape {np.shape(old)} — wrong model/dims for {path}?")
         return jax.numpy.asarray(new)
 
     params = jax.tree.map(check_and_cast, payload["params"], state.params)
@@ -118,6 +133,10 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
         opt_state = jax.tree.map(check_and_cast, payload["opt_state"],
                                  state.opt_state)
     except (ValueError, TypeError):
+        # structural mismatch: the one known-good case is a pre-masked-Adamax
+        # checkpoint (full m/u state where the template has MaskedNode) —
+        # _merge_opt_state handles it and raises a descriptive
+        # "incompatible checkpoint" error for anything else
         opt_state = _merge_opt_state(payload["opt_state"], state.opt_state)
     new_state = TrainState(
         params=params,
