@@ -29,12 +29,18 @@ def _batch(rng, B, cfg):
 
 
 def test_param_shardings_select_tp_dims(rng):
-    cfg = tiny_cfg(model="cti")
+    cfg = tiny_cfg(model="cti", num_ans_candidates=16)
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
     mesh = make_mesh_2d(4, 2)
     sh = param_shardings(params, mesh)
     assert sh["classifier"]["l2"]["v"].spec == P(MODEL_AXIS, None)
+    # a vocab the model axis can't divide (the REAL 3129) replicates
+    # instead of crashing device_put (found by the reference-dims dryrun)
+    odd = build_model(tiny_cfg(model="cti", num_ans_candidates=3129))
+    sh_odd = param_shardings(odd.init(jax.random.PRNGKey(0)), mesh)
+    assert sh_odd["classifier"]["l2"]["v"].spec == P()
+    assert sh_odd["t_att"]["tc"]["T_g"].spec == P(MODEL_AXIS)
     assert sh["classifier"]["l2"]["b"].spec == P(MODEL_AXIS)
     assert sh["t_att"]["tc"]["T_g"].spec == P(MODEL_AXIS)
     assert sh["t_att"]["tc"]["v_net"]["l0"]["v"].spec == P(MODEL_AXIS)

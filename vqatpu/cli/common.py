@@ -55,6 +55,18 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     # TPU
     parser.add_argument("--num_devices", type=int, default=None,
                         help="limit the data-parallel mesh size")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel (model-axis) size: trains on a "
+                             "2-D data x model mesh sharding the classifier "
+                             "vocab, the PARALIND rank, and the t_net "
+                             "tuckers (Megatron column/row pairing)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: jax.distributed coordinator "
+                             "address host:port (one process per pod host)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's id")
     parser.add_argument("--no_mesh", action="store_true",
                         help="run single-device (no data mesh)")
     parser.add_argument("--native_loader", action="store_true",
@@ -84,6 +96,19 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "(-40%% temp memory at large V, +20%% time)")
     parser.add_argument("--v_block_size", type=int, default=0,
                         help="blockwise attention+pool over V blocks (0=off)")
+
+
+def maybe_init_distributed(args) -> None:
+    """Join the jax.distributed rendezvous when multi-host flags are given.
+    Must run before any other jax device use (so the train CLIs call it
+    first)."""
+    if getattr(args, "coordinator", None):
+        from vqatpu.parallel.distributed import init_distributed
+
+        assert args.num_processes and args.process_id is not None, \
+            "--coordinator needs --num_processes and --process_id"
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
 
 def model_config_from_args(args, dataset, task: str = "ffoe") -> ModelConfig:

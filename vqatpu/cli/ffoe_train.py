@@ -12,6 +12,7 @@ import jax
 
 from vqatpu.cli.common import (
     add_common_args,
+    maybe_init_distributed,
     model_config_from_args,
     train_config_from_args,
 )
@@ -37,6 +38,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_init_distributed(args)
     dataroot = args.TDIUC_dir if args.use_TDIUC else args.dataroot
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
     if args.use_TDIUC:
@@ -98,7 +100,7 @@ def main(argv=None):
           print_interval=args.print_interval,
           use_native_loader=args.native_loader,
           profile_dir=args.profile_dir,
-          num_devices=args.num_devices)
+          num_devices=args.num_devices, tp=args.tp)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ import jax
 
 from vqatpu.cli.common import (
     add_common_args,
+    maybe_init_distributed,
     model_config_from_args,
     train_config_from_args,
 )
@@ -32,6 +33,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_init_distributed(args)
     dataroot = args.dataroot
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
     train_dset = V7WDataset("train", dictionary, dataroot=dataroot,
@@ -69,7 +71,7 @@ def main(argv=None):
           print_interval=args.print_interval,
           use_native_loader=args.native_loader,
           profile_dir=args.profile_dir,
-          num_devices=args.num_devices)
+          num_devices=args.num_devices, tp=args.tp)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,9 @@ def get_logits(model, params, loader: BatchLoader
     return np.concatenate(preds, 0), np.concatenate(qids, 0)
 
 
+_warned_eval_fallback = False
+
+
 def _maybe_shard(db: dict, mesh):
     """Shard an eval batch over the data mesh when one is active (in-loop
     eval then runs on every chip, like the train step); padded eval batches
@@ -47,6 +50,12 @@ def _maybe_shard(db: dict, mesh):
     dp = int(mesh.shape.get(DATA_AXIS, 1))
     batch = next(iter(db.values())).shape[0]
     if batch % dp != 0:
+        global _warned_eval_fallback
+        if not _warned_eval_fallback:
+            print(f"| WARNING: eval batch {batch} not divisible by the "
+                  f"data-mesh size {dp}; evaluating without batch sharding "
+                  "(slower on pods — pick a divisible eval batch)")
+            _warned_eval_fallback = True
         return db
     return shard_batch(db, mesh)
 

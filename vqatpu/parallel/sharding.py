@@ -59,6 +59,17 @@ def param_shardings(params, mesh: Mesh):
     # (CTI/Tan); BAN's prj consumes replicated BCNet output
     has_tnet = isinstance(params, dict) and "t_net0" in params
 
+    def fits(leaf, spec):
+        """A NamedSharding dim must divide the mesh axis (found by the
+        near-reference-dims dryrun: the REAL 3129-answer vocab is odd, so
+        the classifier can't split over model=2 — such leaves replicate;
+        Megatron would pad the vocab instead, which changes logit shapes)."""
+        for dim, name in enumerate(spec):
+            if name is not None and (np.shape(leaf)[dim]
+                                     % int(mesh.shape[name]) != 0):
+                return False
+        return True
+
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
@@ -86,6 +97,8 @@ def param_shardings(params, mesh: Mesh):
                 # row-parallel prj: v [out, d] contracts the sharded d
                 if path[-1] == "v":
                     spec = P(None, MODEL_AXIS)
+        if not fits(tree, spec):
+            spec = P()
         return NamedSharding(mesh, spec)
 
     return walk(params, ())

@@ -55,16 +55,84 @@ def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
                        drop_last=True)
 
 
+def _shard_state_tp(state: TrainState, mesh) -> TrainState:
+    """Tensor-parallel state placement on a 2-D (data x model) mesh:
+    params/grad-accum per ``param_shardings`` (classifier vocab, PARALIND
+    rank, Megatron column/row tucker-prj pairs), optimizer state and
+    counters replicated."""
+    from vqatpu.parallel import shard_params
+
+    return TrainState(
+        params=shard_params(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+        grad_accum=shard_params(state.grad_accum, mesh),
+        accum_count=replicate(state.accum_count, mesh),
+        step=replicate(state.step, mesh),
+    )
+
+
+class _NullLogger:
+    """Non-primary processes log nothing (all hosts may share a filesystem;
+    the log.txt contract is single-writer)."""
+
+    def write(self, *_args, **_kw):
+        pass
+
+
+def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
+                        mesh):
+    """Epoch eval in the multi-process regime: every host runs the same
+    seeded loader over the FULL val set, contributes its row slice of each
+    global batch, and reads back only the replicated device-side score
+    scalars (per-row logits are not host-addressable across processes)."""
+    from vqatpu.parallel.distributed import (global_batch_from_local,
+                                             local_batch_slice)
+    from vqatpu.train.steps import make_eval_step
+
+    eval_step = make_eval_step(model, mc_scoring=(task == "mc"))
+    loader = BatchLoader(eval_ds, cfg.batch_size * 2)
+    score = upper = 0.0
+    n = 0
+    for batch in loader:
+        valid = batch.pop("valid")
+        if task == "mc":
+            batch = expand_mc_batch(batch)
+        db = _device_batch(batch)
+        db = global_batch_from_local(local_batch_slice(db), mesh)
+        out = eval_step(params, db)
+        score += float(np.asarray(out["score"]))
+        if "upper_bound" in out:
+            upper += float(np.asarray(out["upper_bound"]))
+        n += int(valid.sum())
+    if task == "mc":
+        upper = float(n)
+    return score / max(n, 1), upper / max(n, 1)
+
+
 def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           task: str = "ffoe", state: Optional[TrainState] = None,
           start_epoch: int = 0, tfidf_loaded: bool = False,
           use_mesh: bool = True, print_interval: int = 200,
           use_native_loader: bool = False,
           profile_dir: Optional[str] = None,
-          num_devices: Optional[int] = None) -> TrainState:
-    """Run the full training schedule; returns the final state."""
+          num_devices: Optional[int] = None,
+          tp: int = 1) -> TrainState:
+    """Run the full training schedule; returns the final state.
+
+    Multi-process (one process per pod host): call
+    ``parallel.distributed.init_distributed`` first — when
+    ``jax.process_count() > 1`` the loop builds the global mesh, every
+    process runs the same seeded loader and contributes its batch slice,
+    and only process 0 writes logs / pickle checkpoints (orbax saves are
+    collective).  ``tp > 1`` trains on a 2-D data x model mesh
+    (single-process): classifier vocab / PARALIND rank / t_net tucker
+    shardings from ``parallel.sharding.param_shardings``.
+    """
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
     os.makedirs(output, exist_ok=True)
-    logger = Logger(os.path.join(output, "log.txt"))
+    logger = (Logger(os.path.join(output, "log.txt")) if primary
+              else _NullLogger())
     logger.write(f"config: {cfg}")
 
     if state is None:
@@ -76,8 +144,29 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         % (cfg.lr, cfg.lr_decay_step, cfg.lr_decay_rate, cfg.clip_norm)
     )
 
-    mesh = make_mesh(num_devices) if use_mesh else None
-    if mesh is not None:
+    mesh = None
+    if use_mesh and multiproc:
+        from vqatpu.parallel.distributed import (global_mesh,
+                                                 replicate_tree_global)
+
+        assert tp == 1, "tensor parallel over multiple hosts is not wired"
+        mesh = global_mesh(num_devices=num_devices)
+        state = TrainState(*[replicate_tree_global(x, mesh) for x in state])
+    elif use_mesh and tp > 1:
+        from vqatpu.parallel import make_mesh_2d
+
+        # fused_v_tucker concatenates the replicated t_att tucker with
+        # model-sharded t_net tuckers -> per-step all-gather (see
+        # ModelConfig.fused_v_tucker)
+        assert not model.cfg.fused_v_tucker, \
+            "fused_v_tucker is incompatible with a model (tp) axis"
+        ndev = num_devices if num_devices is not None else len(jax.devices())
+        assert ndev % tp == 0, (ndev, tp)
+        mesh = make_mesh_2d(ndev // tp, tp)
+        logger.write(f"mesh: data={ndev // tp} x model={tp}")
+        state = _shard_state_tp(state, mesh)
+    elif use_mesh:
+        mesh = make_mesh(num_devices)
         state = TrainState(*[replicate(x, mesh) for x in state])
 
     step_fn = make_train_step(model, cfg, tfidf_loaded,
@@ -113,7 +202,14 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             if task == "mc":
                 batch = expand_mc_batch(batch)
             db = _device_batch(batch)
-            if mesh is not None:
+            if multiproc and mesh is not None:
+                # identical seeded loaders on every host -> identical global
+                # batch; each host hands over only its row slice
+                from vqatpu.parallel.distributed import (
+                    global_batch_from_local, local_batch_slice)
+
+                db = global_batch_from_local(local_batch_slice(db), mesh)
+            elif mesh is not None:
                 db = shard_batch(db, mesh)
             rng, step_rng = jax.random.split(rng)
             # the reference flushes accumulation on each epoch's LAST batch
@@ -148,7 +244,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 update_metrics.append(metrics)
                 micro_count = 0
             num_updates = len(update_metrics)
-            if did_update and num_updates and num_updates % print_every == 0:
+            if (primary and did_update and num_updates
+                    and num_updates % print_every == 0):
                 running = float(sum(jnp.asarray(m["loss"])
                                     for m in update_metrics))
                 # running / (num_updates + 1) reproduces the reference's own
@@ -178,14 +275,18 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
         eval_score, bound = 0.0, 0.0
         if eval_ds is not None:
-            # reference evaluates with a 2x batch (FFOE/main.py:146)
-            eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
-            if task == "mc":
-                eval_score, bound = evaluate_mc(model, state.params,
-                                                eval_loader, mesh=mesh)
+            if multiproc and mesh is not None:
+                eval_score, bound = _evaluate_multiproc(
+                    model, state.params, eval_ds, cfg, task, mesh)
             else:
-                eval_score, bound = evaluate_ffoe(model, state.params,
-                                                  eval_loader, mesh=mesh)
+                # reference evaluates with a 2x batch (FFOE/main.py:146)
+                eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
+                if task == "mc":
+                    eval_score, bound = evaluate_mc(model, state.params,
+                                                    eval_loader, mesh=mesh)
+                else:
+                    eval_score, bound = evaluate_ffoe(model, state.params,
+                                                      eval_loader, mesh=mesh)
 
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"
@@ -197,11 +298,17 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                          % (100 * eval_score, 100 * bound))
 
         if epoch >= cfg.saving_epoch:
-            _save_ckpt(output, f"model_epoch{epoch}", state, epoch,
-                       cfg.ckpt_backend)
-            if eval_ds is not None and eval_score > best_eval:
-                _save_ckpt(output, "model_epoch_best", state, epoch,
+            # orbax saves are collective (every process participates in
+            # writing the global arrays); pickle is process-0-only (state is
+            # fully replicated across hosts, so one copy suffices)
+            write = cfg.ckpt_backend == "orbax" or primary
+            if write:
+                _save_ckpt(output, f"model_epoch{epoch}", state, epoch,
                            cfg.ckpt_backend)
+            if eval_ds is not None and eval_score > best_eval:
+                if write:
+                    _save_ckpt(output, "model_epoch_best", state, epoch,
+                               cfg.ckpt_backend)
                 best_eval = eval_score
     return state
 

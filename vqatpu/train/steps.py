@@ -209,16 +209,25 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
     return train_step
 
 
-def make_eval_step(model):
-    """Eval: logits + soft score + upper bound (``FFOE/train.py:119-149``)."""
+def make_eval_step(model, mc_scoring: bool = False):
+    """Eval: logits + soft score + upper bound (``FFOE/train.py:119-149``).
+
+    ``mc_scoring`` scores 4-candidate groups device-side
+    (``MC/train.py:14-19``) — needed by the multi-process eval path, where
+    per-row logits are sharded across hosts and only replicated scalars are
+    host-readable.  Zero-padded rows contribute 0 to score and bound either
+    way, so padded final batches stay exact."""
 
     @jax.jit
     def eval_step(params, batch):
         logits, _ = model.apply(params, batch)
         out = {"logits": logits}
         if "target" in batch:
-            out["score"] = compute_score_with_logits(logits, batch["target"])
-            out["upper_bound"] = batch["target"].max(axis=1).sum()
+            if mc_scoring:
+                out["score"] = compute_score_mc_jnp(logits, batch["target"])
+            else:
+                out["score"] = compute_score_with_logits(logits, batch["target"])
+                out["upper_bound"] = batch["target"].max(axis=1).sum()
         return out
 
     return eval_step
