@@ -23,7 +23,6 @@
 #include <deque>
 #include <memory>
 #include <mutex>
-#include <random>
 #include <thread>
 #include <vector>
 
@@ -79,32 +78,36 @@ struct Batch {
   int64_t rows = 0;
 };
 
-// Background prefetcher: produces batches of dataset-row indices mapped
-// through a row->image table, assembling feature slabs ahead of consumption.
+// Background prefetcher: consumes host-supplied per-epoch row orders (the
+// DETERMINISM CONTRACT: Python draws the permutation with the same seeded
+// numpy RandomState as the pure-Python BatchLoader, so both loaders yield
+// identical batch sequences — required for multi-host lockstep), maps rows
+// through a row->image table, and assembles feature slabs ahead of
+// consumption.
 struct Loader {
   Store store;
   std::vector<int64_t> row_to_image;  // per dataset row
   int64_t batch_size;
   int64_t max_boxes;
-  bool shuffle;
   bool drop_last;
-  uint64_t seed;
-  int64_t epoch = 0;
 
+  std::deque<std::vector<int64_t>> orders;  // pending epoch orders
   std::deque<std::unique_ptr<Batch>> ready;
   std::mutex mu;
-  std::condition_variable cv_ready, cv_space;
+  std::condition_variable cv_ready, cv_space, cv_order;
   std::atomic<bool> stop{false};
   size_t max_queue = 4;
   std::thread worker;
 
   void run() {
-    std::vector<int64_t> order(row_to_image.size());
-    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
     while (!stop.load()) {
-      if (shuffle) {
-        std::mt19937_64 rng(seed + static_cast<uint64_t>(epoch));
-        std::shuffle(order.begin(), order.end(), rng);
+      std::vector<int64_t> order;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_order.wait(lock, [&] { return !orders.empty() || stop.load(); });
+        if (stop.load()) return;
+        order = std::move(orders.front());
+        orders.pop_front();
       }
       const int64_t n = static_cast<int64_t>(order.size());
       const int64_t stop_at = drop_last ? (n / batch_size) * batch_size : n;
@@ -127,7 +130,6 @@ struct Loader {
         ready.push_back(std::move(batch));
         cv_ready.notify_one();
       }
-      ++epoch;
     }
   }
 };
@@ -170,18 +172,27 @@ void vqadata_assemble(void* handle, const int64_t* image_idx, int64_t n,
 
 void* vqadata_loader_create(void* store_handle, const int64_t* row_to_image,
                             int64_t n_rows, int64_t batch_size,
-                            int64_t max_boxes, int shuffle, int drop_last,
-                            uint64_t seed) {
+                            int64_t max_boxes, int drop_last) {
   auto* l = new Loader();
   l->store = *static_cast<Store*>(store_handle);
   l->row_to_image.assign(row_to_image, row_to_image + n_rows);
   l->batch_size = batch_size;
   l->max_boxes = max_boxes;
-  l->shuffle = shuffle != 0;
   l->drop_last = drop_last != 0;
-  l->seed = seed;
   l->worker = std::thread([l] { l->run(); });
   return l;
+}
+
+// Queue one epoch's dataset-row order (host-drawn; see Loader comment).
+void vqadata_loader_push_order(void* handle, const int64_t* order,
+                               int64_t n) {
+  auto* l = static_cast<Loader*>(handle);
+  std::vector<int64_t> v(order, order + n);
+  {
+    std::lock_guard<std::mutex> lock(l->mu);
+    l->orders.push_back(std::move(v));
+  }
+  l->cv_order.notify_one();
 }
 
 // Blocks until a batch is ready; copies into caller buffers.
@@ -211,6 +222,7 @@ void vqadata_loader_destroy(void* handle) {
   l->stop.store(true);
   l->cv_ready.notify_all();
   l->cv_space.notify_all();
+  l->cv_order.notify_all();
   if (l->worker.joinable()) l->worker.join();
   delete l;
 }

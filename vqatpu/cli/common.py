@@ -69,8 +69,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="multi-host: this process's id")
     parser.add_argument("--no_mesh", action="store_true",
                         help="run single-device (no data mesh)")
-    parser.add_argument("--native_loader", action="store_true",
-                        help="use the C++ prefetch data loader (libvqadata)")
+    parser.add_argument("--native_loader", action="store_true", default=True,
+                        help="use the C++ prefetch data loader (libvqadata; "
+                             "the default — deterministically identical "
+                             "batch order to the Python loader)")
+    parser.add_argument("--no_native_loader", dest="native_loader",
+                        action="store_false",
+                        help="force the pure-Python BatchLoader")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
     parser.add_argument("--kernel_backend", type=str, default="xla",

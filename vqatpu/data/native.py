@@ -45,7 +45,9 @@ def _load_library():
     lib.vqadata_loader_create.restype = ctypes.c_void_p
     lib.vqadata_loader_create.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+        ctypes.c_int64, ctypes.c_int]
+    lib.vqadata_loader_push_order.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.vqadata_loader_next.restype = ctypes.c_int64
     lib.vqadata_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -114,13 +116,21 @@ class NativeBatchLoader:
     """Background-prefetching loader over a dataset with the standard
     ``sample()`` protocol.  Feature slabs (v/b/v_mask) are assembled in C++;
     small per-row fields (q/a/target/qid) are precomputed once as dense
-    numpy arrays and sliced per batch."""
+    numpy arrays and sliced per batch.
+
+    DETERMINISM CONTRACT: the per-epoch row order is drawn HERE with the
+    same seeded ``np.random.RandomState`` the pure-Python ``BatchLoader``
+    uses and pushed to the native worker — same seed => byte-identical
+    batch sequence from either loader (asserted in tests/test_native.py).
+    Multi-host lockstep ordering therefore holds with either loader."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 1204, drop_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.shuffle = shuffle
         self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)  # matches BatchLoader._rng
         lib = _load_library()
         assert lib is not None, "libvqadata.so unavailable"
         self._lib = lib
@@ -141,7 +151,7 @@ class NativeBatchLoader:
 
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
-            self.max_boxes, int(shuffle), int(drop_last), seed)
+            self.max_boxes, int(drop_last))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -149,6 +159,12 @@ class NativeBatchLoader:
             (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset), dtype=np.int64)
+        if self.shuffle:
+            self._rng.shuffle(order)  # identical draw to BatchLoader.__iter__
+        order = np.ascontiguousarray(order)
+        self._lib.vqadata_loader_push_order(self._handle, _ptr(order),
+                                            len(order))
         for _ in range(len(self)):
             yield self.next_batch()
 

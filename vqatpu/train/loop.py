@@ -113,7 +113,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           task: str = "ffoe", state: Optional[TrainState] = None,
           start_epoch: int = 0, tfidf_loaded: bool = False,
           use_mesh: bool = True, print_interval: int = 200,
-          use_native_loader: bool = False,
+          use_native_loader: bool = True,
           profile_dir: Optional[str] = None,
           num_devices: Optional[int] = None,
           tp: int = 1) -> TrainState:
