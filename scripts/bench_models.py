@@ -1,12 +1,17 @@
-"""Same-process, interleaved train-step timing across the model matrix
-(CTI/BAN/BAN+counter at batch 256, CTI at 1024) — the PARITY.md table rows,
-refreshed in one tunnel session so the numbers are mutually comparable.
+"""Same-process, interleaved timing across the model matrix — train steps
+(CTI/BAN/BAN+counter/SAN at batch 256, CTI at 1024, MC TanModel at its
+reference batch 64 x4-expanded), eval-mode inference, and serve-bucket
+latency.  One tunnel session so rows are mutually comparable; writes the
+committed ``BENCH_MATRIX.json`` regression artifact (VERDICT r2 item 5).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_models.py [name ...]
+       (names filter the train/infer matrix; serve rows always run)
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -17,20 +22,32 @@ import jax.numpy as jnp
 
 from vqatpu.config import ModelConfig, TrainConfig
 from vqatpu.models import build_model
-from vqatpu.train.steps import make_train_state, make_train_step
+from vqatpu.train.steps import (make_eval_step, make_train_state,
+                                make_train_step)
 
 CONFIGS = {
     "cti_256": dict(model="cti", B=256),
     "ban_256": dict(model="ban", B=256),
     "ban_counter_256": dict(model="ban", B=256, use_counter=True),
+    "san_256": dict(model="san", B=256),
     "cti_1024": dict(model="cti", B=1024),
+    # MC TanModel at the reference batch 64, x4 candidate expansion
+    # (MC/train.py:74-83) => 256 device rows
+    "mc_tan_64": dict(model="cti", B=256, task="mc"),
 }
+INFER = {
+    "cti_256_infer": "cti_256",
+    "ban_256_infer": "ban_256",
+}
+MATRIX_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_MATRIX.json")
 
 
 def make(name):
     spec = dict(CONFIGS[name])
     B = spec.pop("B")
-    V, Q, A = 50, 12, 3
+    V, Q = 50, 12
+    A = 6 if spec.get("task") == "mc" else 3
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
                       num_hid=1024, h_mm=512, rank=32, gamma=2, **spec)
     model = build_model(cfg)
@@ -41,15 +58,45 @@ def make(name):
         "v": jnp.asarray(v),
         "q": jnp.asarray(rng.randint(0, 20000, (B, Q)).astype(np.int32)),
         "v_mask": jnp.asarray(np.arange(V)[None] < 44).repeat(B, 0),
-        "target": jnp.asarray(rng.rand(B, 3129).astype(np.float32)),
+        "target": jnp.asarray(rng.rand(B, cfg.num_classes).astype(np.float32)),
     }
     if spec["model"] == "cti":
         batch["a"] = jnp.asarray(rng.randint(0, 20000, (B, A)).astype(np.int32))
     if spec.get("use_counter"):
         batch["b"] = jnp.asarray(rng.rand(B, V, 6).astype(np.float32))
     state = make_train_state(model, jax.random.PRNGKey(0))
-    step = make_train_step(model, TrainConfig(update_freq=1, batch_size=B))
-    return B, batch, state, step
+    step = make_train_step(model, TrainConfig(update_freq=1, batch_size=B),
+                           mc_scoring=(spec.get("task") == "mc"))
+    return B, batch, state, step, model
+
+
+def _serve_rows(results):
+    """Single-request and batch-32 serve-bucket latency (CTI session)."""
+    from vqatpu.serve import InferenceSession
+
+    cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
+                      model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
+    model = build_model(cfg)
+    params = make_train_state(model, jax.random.PRNGKey(0)).params
+    sess = InferenceSession(model, params, ["a"] * 3129,
+                            batch_buckets=(1, 32), max_boxes=50)
+    rng = np.random.RandomState(3)
+    for n, label in ((1, "serve_latency_b1"), (32, "serve_latency_b32")):
+        v = rng.randn(n, 50, 2048).astype(np.float32)
+        q = rng.randint(0, 20000, (n, 12))
+        a = rng.randint(0, 20000, (n, 3))
+        sess.logits(v, None, q, a)  # compile the bucket
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                out = sess.logits(v, None, q, a)
+            float(out.sum())  # readback barrier
+            best = min(best, (time.perf_counter() - t0) / 20)
+        results[label] = {"kind": "serve", "batch": n,
+                          "ms": round(best * 1e3, 3),
+                          "requests_per_sec": round(n / best, 1)}
+        print(f"{label:16s} {best * 1e3:8.2f} ms", flush=True)
 
 
 def main():
@@ -57,30 +104,70 @@ def main():
     key = jax.random.PRNGKey(1)
     runners = {}
     for name in names:
-        B, batch, state, step = make(name)
+        B, batch, state, step, model = make(name)
         state, m = step(state, batch, jnp.float32(1e-3), key)
         float(np.asarray(m["loss"]))
-        runners[name] = [B, batch, state, step]
+        runners[name] = ["train", B, batch, state, step]
         print(f"compiled {name}", flush=True)
+    for iname, base in INFER.items():
+        if base not in names:
+            continue
+        B, batch, _, _, model = make(base)
+        ev = make_eval_step(model)
+        db = {k: v for k, v in batch.items() if k != "target"}
+        params = make_train_state(model, jax.random.PRNGKey(0)).params
+        out = ev(params, db)
+        float(np.asarray(out["logits"]).sum())
+        runners[iname] = ["infer", B, db, params, ev]
+        print(f"compiled {iname}", flush=True)
+
     iters = 30
-    best = {n: float("inf") for n in names}
+    best = {n: float("inf") for n in runners}
     for rep in range(4):
         for name, r in runners.items():
-            B, batch = r[0], r[1]
+            kind, B, batch = r[0], r[1], r[2]
             t0 = time.perf_counter()
-            for i in range(iters):
-                r[2], m = r[3](r[2], batch, jnp.float32(1e-3),
-                               jax.random.fold_in(key, i))
-            float(np.asarray(m["loss"]))
+            if kind == "train":
+                for i in range(iters):
+                    r[3], m = r[4](r[3], batch, jnp.float32(1e-3),
+                                   jax.random.fold_in(key, i))
+                float(np.asarray(m["loss"]))
+            else:
+                for i in range(iters):
+                    out = r[4](r[3], batch)
+                float(np.asarray(out["logits"]).sum())
             dt = (time.perf_counter() - t0) / iters
             best[name] = min(best[name], dt)
             print(f"rep{rep} {name:16s} {dt * 1e3:8.2f} ms "
                   f"({B / dt:,.0f} samples/s)", flush=True)
+
+    results = {}
     print("--- best ---", flush=True)
-    for name in names:
-        B = runners[name][0]
+    for name, r in runners.items():
+        kind, B = r[0], r[1]
         print(f"{name:16s} {best[name] * 1e3:8.2f} ms "
               f"({B / best[name]:,.0f} samples/s)", flush=True)
+        results[name] = {"kind": kind, "batch": B,
+                         "ms_per_step": round(best[name] * 1e3, 3),
+                         "samples_per_sec": round(B / best[name], 1)}
+    if "mc_tan_64" in results:
+        # 4 candidate rows per question (MC/train.py:74-83)
+        results["mc_tan_64"]["questions_per_sec"] = round(
+            results["mc_tan_64"]["batch"] / 4 / best["mc_tan_64"], 1)
+
+    _serve_rows(results)
+
+    payload = {
+        "note": ("one interleaved tunnel session; rows mutually comparable, "
+                 "cross-session absolutes drift (PROFILE.md). samples = "
+                 "device rows (mc_tan_64 rows are x4 candidate-expanded)."),
+        "device": jax.devices()[0].device_kind,
+        "date": time.strftime("%Y-%m-%d"),
+        "results": results,
+    }
+    with open(MATRIX_PATH, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {MATRIX_PATH}", flush=True)
 
 
 if __name__ == "__main__":

@@ -110,3 +110,107 @@ def test_evaluate_tdiuc_cli(tmp_path, capsys):
                          "--answerkey", key_path])
     out = capsys.readouterr().out
     assert "Arithmetic MPT Accuracy is 50.00" in out
+
+
+def test_ffoe_train_resume_cli(tmp_path):
+    """--input resume (cli/ffoe_train.py:74-76): restores model+optimizer
+    and continues at epoch+1, exactly like the reference (FFOE/main.py:
+    121-128)."""
+    import jax
+
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.data import Dictionary, VQAFeatureDataset
+    from vqatpu.models import build_model
+    from vqatpu.train.checkpoints import save_checkpoint
+    from vqatpu.train.steps import make_train_state
+
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "resume_out")
+    os.makedirs(out)
+
+    d = Dictionary.load_from_file(os.path.join(root, "dictionary.pkl"))
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    args = ffoe_train.parse_args(
+        ["--model", "cti", "--dataroot", root, *SMALL])
+    model = build_model(model_config_from_args(args, ds))
+    state = make_train_state(model, jax.random.PRNGKey(0),
+                             tfidf_loaded=True)
+    ckpt = os.path.join(out, "model_epoch0.ckpt")
+    save_checkpoint(ckpt, state, epoch=0)
+
+    ffoe_train.main([
+        "--model", "cti", "--dataroot", root, "--output", out, *SMALL,
+        "--input", ckpt, "--epochs", "2",
+    ])
+    log = open(os.path.join(out, "log.txt")).read()
+    # resumed at epoch 1: exactly ONE epoch ran, and it was epoch 1
+    assert "epoch 1," in log and "epoch 0," not in log
+
+
+def test_ffoe_train_distillation_cli(tmp_path):
+    """--distillation consumes {split}_teacher_logits.pkl through the full
+    CLI (the KD-student path, FFOE/trainer.py:168-192)."""
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16,
+                     with_teacher_logits=True)
+    out = str(tmp_path / "kd_out")
+    ffoe_train.main([
+        "--model", "ban", "--dataroot", root, "--output", out, *SMALL,
+        "--distillation", "--T", "2.0", "--alpha", "0.3",
+    ])
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "train_loss" in log
+
+
+def test_ffoe_test_raw_logits_dump(tmp_path):
+    """--logits writes the raw [N, num_ans] npz (reference's torch.save
+    dump, FFOE/test.py:173-175)."""
+    import jax
+    import numpy as np
+
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.data import Dictionary, VQAFeatureDataset
+    from vqatpu.models import build_model
+    from vqatpu.train.checkpoints import save_checkpoint
+    from vqatpu.train.steps import make_train_state
+
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "m")
+    os.makedirs(out)
+    d = Dictionary.load_from_file(os.path.join(root, "dictionary.pkl"))
+    ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    args = ffoe_test.parse_args(["--model", "ban", "--dataroot", root, *SMALL])
+    model = build_model(model_config_from_args(args, ds))
+    save_checkpoint(os.path.join(out, "model_epoch0.ckpt"),
+                    make_train_state(model, jax.random.PRNGKey(0)), 0)
+    res = str(tmp_path / "results")
+    ffoe_test.main([
+        "--model", "ban", "--dataroot", root, *SMALL, "--split", "val",
+        "--input", out, "--epoch", "0", "--results", res,
+        "--logits", "1",
+    ])
+    raw = np.load(os.path.join(res, "val_ban_logits.npz"))
+    assert raw["logits"].shape == (8, ds.num_ans_candidates)
+    assert raw["question_ids"].shape == (8,)
+
+
+def test_mc_train_resume_cli(tmp_path):
+    """MC resume: saving_epoch=0 writes epoch-0 checkpoints the CLI can
+    restore from (--input), continuing at epoch 1."""
+    root = str(tmp_path / "data_v7w")
+    make_v7w_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "mc_out")
+    mc_train.main([
+        "--model", "cti", "--dataroot", root, "--output", out, *SMALL,
+    ])
+    ckpt = os.path.join(out, "model_epoch0.ckpt")
+    assert os.path.exists(ckpt)
+    out2 = str(tmp_path / "mc_out2")
+    mc_train.main([
+        "--model", "cti", "--dataroot", root, "--output", out2, *SMALL,
+        "--input", ckpt, "--epochs", "2",
+    ])
+    log = open(os.path.join(out2, "log.txt")).read()
+    assert "epoch 1," in log and "epoch 0," not in log

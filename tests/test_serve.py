@@ -76,3 +76,32 @@ def test_answer_by_embedding(tmp_path, rng):
     ans_emb[5] = logits[1]
     out = sess.answer_by_embedding(v, b, q, ans_emb, a)
     assert out == [ANS[3], ANS[5]]
+
+
+def test_transfer_dtype_halves_wire_precision_only(session_fixture_args=None):
+    """float16 wire transfer: logits match the f32 session closely (the
+    upcast happens on device; only the input copy narrows)."""
+    import numpy as np
+    import jax
+
+    from vqatpu.config import ModelConfig
+    from vqatpu.models import build_model
+    from vqatpu.serve import InferenceSession
+    from vqatpu.train.steps import make_train_state
+
+    cfg = ModelConfig(ntoken=50, v_dim=16, num_ans_candidates=11, model="cti",
+                      num_hid=16, h_mm=8, rank=2, gamma=2)
+    model = build_model(cfg)
+    params = make_train_state(model, jax.random.PRNGKey(0)).params
+    rng = np.random.RandomState(0)
+    v = rng.randn(3, 6, 16).astype(np.float32)
+    q = rng.randint(0, 50, (3, 12))
+    a = rng.randint(0, 50, (3, 3))
+    s32 = InferenceSession(model, params, ["x"] * 11, batch_buckets=(4,),
+                           max_boxes=6)
+    s16 = InferenceSession(model, params, ["x"] * 11, batch_buckets=(4,),
+                           max_boxes=6, transfer_dtype=np.float16)
+    l32 = s32.logits(v, None, q, a)
+    l16 = s16.logits(v, None, q, a)
+    np.testing.assert_allclose(l16, l32, atol=5e-2)
+    assert not np.array_equal(l16, l32)  # genuinely narrowed on the wire

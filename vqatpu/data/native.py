@@ -48,10 +48,12 @@ def _load_library():
         ctypes.c_int64, ctypes.c_int]
     lib.vqadata_loader_push_order.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-    lib.vqadata_loader_next.restype = ctypes.c_int64
-    lib.vqadata_loader_next.argtypes = [
+    lib.vqadata_loader_register_slot.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.vqadata_loader_next.restype = ctypes.c_int64
+    lib.vqadata_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.vqadata_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -152,6 +154,21 @@ class NativeBatchLoader:
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
             self.max_boxes, int(drop_last))
+        # zero-copy ring: the worker assembles straight into these numpy
+        # buffers; a yielded batch's v/b/v_mask/idx VIEWS stay valid until
+        # the next next_batch() call (which recycles the slot)
+        self._slots = []
+        for _ in range(3):
+            slot = (np.zeros((batch_size, self.max_boxes, self.store.v_dim),
+                             np.float32),
+                    np.zeros((batch_size, self.max_boxes, self.store.s_dim),
+                             np.float32),
+                    np.zeros((batch_size, self.max_boxes), np.uint8),
+                    np.zeros((batch_size,), np.int64))
+            lib.vqadata_loader_register_slot(self._handle, *(_ptr(a)
+                                                             for a in slot))
+            self._slots.append(slot)
+        self._held_slot = -1
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -170,13 +187,13 @@ class NativeBatchLoader:
 
     def next_batch(self) -> Dict[str, np.ndarray]:
         bs = self.batch_size
-        out_v = np.empty((bs, self.max_boxes, self.store.v_dim), np.float32)
-        out_b = np.empty((bs, self.max_boxes, self.store.s_dim), np.float32)
-        out_m = np.empty((bs, self.max_boxes), np.uint8)
-        out_idx = np.empty((bs,), np.int64)
-        rows = self._lib.vqadata_loader_next(
-            self._handle, _ptr(out_v), _ptr(out_b), _ptr(out_m), _ptr(out_idx))
-        assert rows > 0, "native loader stopped"
+        rows_out = np.zeros((1,), np.int64)
+        slot = self._lib.vqadata_loader_next(self._handle, self._held_slot,
+                                             _ptr(rows_out))
+        assert slot >= 0, "native loader stopped"
+        self._held_slot = slot
+        rows = int(rows_out[0])
+        out_v, out_b, out_m, out_idx = self._slots[slot]
         batch = {"v": out_v, "b": out_b, "v_mask": out_m.astype(bool)}
         valid = np.zeros((bs,), bool)
         valid[:rows] = True

@@ -193,26 +193,40 @@ class StackedAttention:
 
     def apply(self, p, img_feat, ques_feat, v_mask: bool = True,
               ctx: Optional[Ctx] = None) -> jnp.ndarray:
-        """img_feat [B, V, img_dim], ques_feat [B, ques_dim] -> [B, att_size]."""
+        """img_feat [B, V, img_dim], ques_feat [B, ques_dim] -> [B, att_size].
+
+        Lane-efficiency: the reference's per-round attention head is a
+        ``Linear(att_size, 1)`` producing [B, V, 1] — a 1-lane minor that
+        wastes (8,128) VMEM tiles through the softmax and the weighted sum.
+        Here the head is a matvec contraction to 2-D [B, V] logits, and the
+        attention-weighted image pooling is the batched matvec
+        ``einsum('bv,bvd->bd')`` instead of a broadcast-multiply+reduce.
+        Same math as ``attention.py:96-152``."""
         ques_emb = Linear(self.ques_feat_size, self.att_size).apply(p["fc11"], ques_feat)
         img_emb = Linear(self.img_feat_size, self.att_size, bias=False).apply(p["fc12"], img_feat)
 
+        def head(lin_p, h):
+            # Linear(att,1) -> [B, V] logits directly
+            return jnp.einsum("bvd,d->bv", h, lin_p["w"][0]) + lin_p["b"][0]
+
         h1 = jnp.tanh(ques_emb[:, None, :] + img_emb)
-        h1_emb = Linear(self.att_size, 1).apply(p["fc13"], dropout(h1, self.drop_ratio, ctx))
+        l1 = head(p["fc13"], dropout(h1, self.drop_ratio, ctx))
         # reference masks on img_emb rows being exactly zero (attention.py:106)
-        mask = (jnp.abs(img_emb).sum(-1) != 0)[:, :, None] if v_mask else jnp.ones_like(h1_emb, bool)
-        p1 = masked_softmax(h1_emb, mask, axes=(1,))
+        mask = ((jnp.abs(img_emb).sum(-1) != 0) if v_mask
+                else jnp.ones_like(l1, bool))
+        p1 = masked_softmax(l1, mask, axes=(1,))
 
         ques_emb_1 = Linear(self.ques_feat_size, self.att_size).apply(p["fc14"], ques_feat)
         img_emb_1 = Linear(self.img_feat_size, self.att_size, bias=False).apply(p["fc15"], img_feat)
-        u = ques_emb_1 + (img_emb_1 * p1).sum(axis=1)
+        u = ques_emb_1 + jnp.einsum("bv,bvd->bd", p1, img_emb_1)
 
         for s in range(self.num_stacks - 1):
             q_s = Linear(self.att_size, self.att_size).apply(p[f"w{s}_q"], u)
             i_s = Linear(self.img_feat_size, self.att_size, bias=False).apply(p[f"w{s}_i"], img_feat)
             h_s = jnp.tanh(q_s[:, None, :] + i_s)
-            h_emb = Linear(self.att_size, 1).apply(p[f"w{s}_h"], dropout(h_s, self.drop_ratio, ctx))
-            mask_s = (jnp.abs(i_s).sum(-1) != 0)[:, :, None] if v_mask else jnp.ones_like(h_emb, bool)
-            p_s = masked_softmax(h_emb, mask_s, axes=(1,))
-            u = u + (i_s * p_s).sum(axis=1)
+            l_s = head(p[f"w{s}_h"], dropout(h_s, self.drop_ratio, ctx))
+            mask_s = ((jnp.abs(i_s).sum(-1) != 0) if v_mask
+                      else jnp.ones_like(l_s, bool))
+            p_s = masked_softmax(l_s, mask_s, axes=(1,))
+            u = u + jnp.einsum("bv,bvd->bd", p_s, i_s)
         return u

@@ -46,7 +46,14 @@ class WNLinear:
         return (p["g"] / jnp.linalg.norm(v.reshape(-1))) * v
 
     def apply(self, p, x: jnp.ndarray) -> jnp.ndarray:
-        y = x @ self.weight(p).T
+        # (x @ vᵀ)·s rather than x @ (s·v)ᵀ: the scalar rides the GEMM's
+        # existing bias/activation epilogue for free, instead of a separate
+        # full pass materializing the scaled weight (and the backward scales
+        # the output cotangent, not a weight-sized array).  Same math as
+        # torch weight_norm dim=None (fc.py:22) up to reassociation.
+        v = p["v"]
+        s = p["g"] / jnp.linalg.norm(v.reshape(-1))
+        y = (x @ v.T) * s
         if self.bias:
             y = y + p["b"]
         return y

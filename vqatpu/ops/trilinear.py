@@ -56,12 +56,16 @@ def fused_tucker_projection(nets, x, rate: float, act: str, ctx):
     from vqatpu.ops.module import dropout as _dropout
 
     ls = [n["l0"] for n in nets]
-    ws = [(l["g"] / jnp.linalg.norm(l["v"].reshape(-1))) * l["v"] for l in ls]
-    w_all = jnp.concatenate(ws, axis=0)                # [sum(d_i), in_dim]
+    # per-net weight-norm scalars applied to the fused GEMM's output blocks
+    # (epilogue-fused; no scaled-weight materialization)
+    scale = jnp.concatenate([
+        jnp.broadcast_to(l["g"] / jnp.linalg.norm(l["v"].reshape(-1)),
+                         (l["v"].shape[0],)) for l in ls])
+    w_all = jnp.concatenate([l["v"] for l in ls], axis=0)  # [sum(d_i), in]
     b_all = jnp.concatenate([l["b"] for l in ls])
     xd = _dropout(x, rate, ctx)
-    out = get_activation(act)(xd @ w_all.T + b_all)
-    sizes = [w.shape[0] for w in ws]
+    out = get_activation(act)((xd @ w_all.T) * scale + b_all)
+    sizes = [l["v"].shape[0] for l in ls]
     offs = [0]
     for s in sizes:
         offs.append(offs[-1] + s)
@@ -148,12 +152,14 @@ class TCNet:
         p = stacked["l0"]  # {"v": [R, h_sub, d], "g": [R], "b": [R, h_sub]}
         v = p["v"]
         norms = jnp.sqrt((v * v).sum(axis=(1, 2)))  # [R] Frobenius per rank
-        w = v * (p["g"] / norms)[:, None, None]     # [R, h_sub, d]
-        w_all = w.reshape(self.rank * self.h_sub, v.shape[-1])
+        # per-rank scales applied to the GEMM OUTPUT columns (rides the
+        # bias+activation epilogue; avoids rewriting the stacked weights)
+        scale = jnp.repeat(p["g"] / norms, self.h_sub)  # [R*h_sub]
+        w_all = v.reshape(self.rank * self.h_sub, v.shape[-1])
         b_all = p["b"].reshape(self.rank * self.h_sub)
         x = _dropout(x, drop, ctx)
         from vqatpu.ops.activation import get_activation
-        out = get_activation(self.act)(x @ w_all.T + b_all)
+        out = get_activation(self.act)((x @ w_all.T) * scale + b_all)
         return out.reshape(x.shape[0], x.shape[1], self.rank, self.h_sub)
 
     def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None,

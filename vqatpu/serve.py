@@ -34,12 +34,19 @@ from vqatpu.train.checkpoints import load_checkpoint
 class InferenceSession:
     def __init__(self, model, params, label2ans: Sequence[str],
                  batch_buckets: Sequence[int] = (1, 8, 32, 128),
-                 max_boxes: int = 50):
+                 max_boxes: int = 50, transfer_dtype=None):
         self.model = model
         self.params = params
         self.label2ans = list(label2ans)
         self.batch_buckets = sorted(batch_buckets)
         self.max_boxes = max_boxes
+        # Serving latency is dominated by the host->device copy of the
+        # [N, boxes, 2048] features, not compute (BENCH_MATRIX.json: 47 ms
+        # b1 / 920 ms b32 on the tunnel vs 7.7 ms compute for 256 rows).
+        # transfer_dtype=np.float16 halves the wire bytes; the jitted
+        # predict upcasts to f32 on device (~1e-3-level logit change —
+        # measure for your deployment before enabling).
+        self.transfer_dtype = transfer_dtype
         self._predict_cache: Dict[int, callable] = {}
 
     @classmethod
@@ -56,6 +63,10 @@ class InferenceSession:
 
             @jax.jit
             def predict(params, batch):
+                if "v" in batch and batch["v"].dtype != jnp.float32:
+                    batch = dict(batch, v=batch["v"].astype(jnp.float32))
+                    if "b" in batch:
+                        batch["b"] = batch["b"].astype(jnp.float32)
                 logits, _ = model.apply(params, batch)
                 return logits
 
@@ -104,13 +115,14 @@ class InferenceSession:
         mask = np.zeros((v.shape[0], self.max_boxes), bool)
         mask[:, :v.shape[1]] = np.abs(v).sum(-1) != 0
 
+        wire = self.transfer_dtype or np.float32
         batch = {
-            "v": jnp.asarray(pad_rows(pad_boxes(v.astype(np.float32)))),
+            "v": jnp.asarray(pad_rows(pad_boxes(v.astype(wire)))),
             "q": jnp.asarray(pad_rows(q.astype(np.int32))),
             "v_mask": jnp.asarray(pad_rows(mask)),
         }
         if b is not None:
-            batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(np.float32))))
+            batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(wire))))
         if a is not None:
             batch["a"] = jnp.asarray(pad_rows(a.astype(np.int32)))
         logits = self._predict_fn(bucket)(self.params, batch)
