@@ -52,3 +52,31 @@ def test_cti_overfits_in_bfloat16(tmp_path):
     score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8))
     assert bound > 0.5
     assert score > 0.5 * bound, (score, bound)
+
+
+def test_cti_overfits_with_bf16_optimizer_state(tmp_path):
+    """optim_state_dtype=bfloat16 (half the Adamax HBM traffic) still
+    learns: m/u are stored bf16, update math stays f32."""
+    import jax
+    import jax.numpy as jnp
+
+    root = str(tmp_path / "data")
+    d = make_vqa_fixture(root, n_train=32, n_val=32, n_images=8, v_dim=16,
+                         seed=5)
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+
+    cfg = TrainConfig(epochs=18, batch_size=8, update_freq=1, saving_epoch=99,
+                      lr=2e-3, optim_state_dtype="bfloat16")
+    model = build_model(small_cfg(train_ds, "cti"))
+    state = train(model, train_ds, None, cfg, str(tmp_path / "out"),
+                  use_mesh=False, print_interval=10**9)
+
+    # the carried moments really are bf16
+    inner = state.opt_state.inner_state[0]
+    m_leaf = jax.tree.leaves(inner.inner_state.m
+                             if hasattr(inner, "inner_state") else inner.m)[0]
+    assert m_leaf.dtype == jnp.bfloat16
+
+    score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8))
+    assert bound > 0.5
+    assert score > 0.5 * bound, (score, bound)

@@ -86,6 +86,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="checkpoint format (orbax = sharded/multi-host)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--optim_state_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Adamax m/u storage dtype (bfloat16 halves the "
+                             "optimizer's HBM traffic; f32 = exact torch "
+                             "trajectories)")
     parser.add_argument("--rng_impl", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="dropout-mask PRNG (rbg = TPU hardware RNG, "
@@ -155,6 +160,7 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         T=args.T,
         alpha=args.alpha,
         compute_dtype=args.compute_dtype,
+        optim_state_dtype=getattr(args, "optim_state_dtype", "float32"),
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),
         mask_bits=getattr(args, "mask_bits", 32),

@@ -103,6 +103,10 @@ class TrainConfig:
     # mask *streams* differ between the two (as they do vs the reference's
     # torch RNG either way).
     rng_impl: str = "rbg"
+    # Adamax m/u storage dtype: "bfloat16" halves the optimizer's HBM
+    # traffic (the measured update floor, PROFILE.md); update math stays
+    # f32.  Default f32 = exact torch-Adamax trajectories.
+    optim_state_dtype: str = "float32"
     # 32 = exact torch bernoulli(keep) semantics; 16 = threshold uint16 bits
     # (half the RNG bits; keep-prob quantized to 1/65536 with the inverted
     # scale using the exact realized probability — unbiased)

@@ -137,7 +137,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
     if state is None:
         state = make_train_state(model, jax.random.PRNGKey(cfg.seed),
-                                 tfidf_loaded)
+                                 tfidf_loaded,
+                                 optim_state_dtype=cfg.optim_state_dtype)
     logger.write(f"nParams=\t{count_params(state.params)}")
     logger.write(
         "optim: adamax lr=%.4f, decay_step=%d, decay_rate=%.2f, grad_clip=%.2f"

@@ -28,39 +28,55 @@ class AdamaxState(NamedTuple):
     u: optax.Updates
 
 
-def adamax(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.GradientTransformation:
+def adamax(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+           state_dtype=None) -> optax.GradientTransformation:
     """torch.optim.Adamax semantics. Produces the *delta* ``m_hat / u``; the
     learning rate is applied by a chained ``optax.scale`` (see
-    :func:`adamax_with_lr`)."""
+    :func:`adamax_with_lr`).
+
+    ``state_dtype``: storage dtype for the m/u moments (e.g.
+    ``jnp.bfloat16`` halves the optimizer's HBM traffic, which is the
+    measured Adamax floor — PROFILE.md).  The update math always runs in
+    the gradient dtype (f32); only the carried state narrows.  Default
+    ``None`` stores at param precision — exact torch parity."""
+
+    def _z(p):
+        return jnp.zeros_like(p, dtype=state_dtype or p.dtype)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return AdamaxState(jnp.zeros([], jnp.int32), zeros,
-                           jax.tree.map(jnp.zeros_like, params))
+        return AdamaxState(jnp.zeros([], jnp.int32),
+                           jax.tree.map(_z, params),
+                           jax.tree.map(_z, params))
 
     def update_fn(updates, state, params=None):
         del params
         count = state.count + 1
-        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state.m, updates)
+        m = jax.tree.map(
+            lambda m_, g: b1 * m_.astype(g.dtype) + (1 - b1) * g,
+            state.m, updates)
         u = jax.tree.map(
-            lambda u_, g: jnp.maximum(b2 * u_, jnp.abs(g) + eps), state.u, updates
-        )
+            lambda u_, g: jnp.maximum(b2 * u_.astype(g.dtype),
+                                      jnp.abs(g) + eps),
+            state.u, updates)
         bias_corr = 1.0 - b1 ** count.astype(jnp.float32)
         out = jax.tree.map(lambda m_, u_: m_ / (u_ * bias_corr), m, u)
+        if state_dtype is not None:
+            m = jax.tree.map(lambda x: x.astype(state_dtype), m)
+            u = jax.tree.map(lambda x: x.astype(state_dtype), u)
         return out, AdamaxState(count, m, u)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def adamax_with_lr(trainable=None) -> optax.GradientTransformation:
+def adamax_with_lr(trainable=None, state_dtype=None) -> optax.GradientTransformation:
     """Adamax whose per-step LR arrives via ``optax.inject_hyperparams`` —
     the epoch schedule is driven from the host loop like the reference.
 
     ``trainable``: optional params->bool-pytree fn; frozen leaves get no
     m/u state (``optax.masked``).  Their updates pass through unscaled by
     Adamax, so callers must zero frozen grads (the train step does)."""
-    inner = (adamax() if trainable is None
-             else optax.masked(adamax(), trainable))
+    inner = (adamax(state_dtype=state_dtype) if trainable is None
+             else optax.masked(adamax(state_dtype=state_dtype), trainable))
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
             inner, optax.scale_by_learning_rate(learning_rate)

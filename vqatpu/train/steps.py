@@ -69,13 +69,15 @@ def mask_grads(grads, mask):
     )
 
 
-def make_optimizer(trainable=None):
+def make_optimizer(trainable=None, state_dtype: str = "float32"):
     """``trainable`` is an optional params->bool-pytree fn; when given, the
     Adamax m/u state is simply not allocated for frozen leaves
     (``optax.masked``) — matching torch, which keeps no optimizer state for
     ``requires_grad=False`` params (``language_model.py:21-24``), and saving
-    the frozen GloVe copy's share of the update's HBM traffic."""
-    return adamax_with_lr(trainable)
+    the frozen GloVe copy's share of the update's HBM traffic.
+    ``state_dtype``: see :func:`vqatpu.train.optim.adamax`."""
+    sd = jnp.bfloat16 if state_dtype == "bfloat16" else None
+    return adamax_with_lr(trainable, state_dtype=sd)
 
 
 def cast_floats(tree, dtype):
@@ -93,9 +95,11 @@ def _frozen_mask_fn(model, tfidf_loaded: bool):
     return None
 
 
-def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False) -> TrainState:
+def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False,
+                     optim_state_dtype: str = "float32") -> TrainState:
     params = model.init(key)
-    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded))
+    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded),
+                        optim_state_dtype)
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -114,7 +118,8 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
     ``mc_scoring`` switches batch_score to 4-candidate group accuracy
     (``MC/train.py:14-19``) for the x4-expanded MC batches.
     """
-    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded))
+    tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded),
+                        cfg.optim_state_dtype)
     distill = cfg.distillation and model.cfg.model in ("ban", "san")
     half = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
