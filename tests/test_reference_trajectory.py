@@ -85,13 +85,21 @@ def ref():
     import src.FFOE.base_model as base
     import src.FFOE.train as train
     import src.FFOE.trainer as trainer
+    import src.MC.base_model as mc_base
+    import src.MC.train as mc_train
+    import src.MC.trainer as mc_trainer
     import src.utils as utils
 
     # device shim only: this torch build has no CUDA.  move_to_cuda is pure
     # placement (utils.py:295-312); identity keeps every sample on CPU.
     utils.move_to_cuda = lambda sample: sample
+    # reference bug repair: MC/train.py:8 does `import src.utils` but uses
+    # the bare name `utils` (:31 utils.create_dir) — NameError as committed.
+    # Inject the intended binding so the MC oracle can run at all.
+    mc_train.utils = utils
     return types.SimpleNamespace(base=base, train=train, trainer=trainer,
-                                 utils=utils)
+                                 mc_base=mc_base, mc_train=mc_train,
+                                 mc_trainer=mc_trainer, utils=utils)
 
 
 def _args(model: str, distillation: bool = False, use_counter: bool = False,
@@ -101,8 +109,9 @@ def _args(model: str, distillation: bool = False, use_counter: bool = False,
     return types.SimpleNamespace(
         model=model, num_hid=HID, op="c", gamma=GAMMA, activation="relu",
         dropout=0.5, use_counter=use_counter, h_mm=HMM, h_out=1, rank=RANK,
-        k=1, device="cpu", lr=1e-3, clip_norm=0.25, distillation=distillation,
-        T=2.0, alpha=0.3, update_freq=update_freq, batch_size=B,
+        k=1, num_stacks=2, device="cpu", lr=1e-3, clip_norm=0.25,
+        distillation=distillation, T=2.0, alpha=0.3,
+        update_freq=update_freq, batch_size=B,
         print_interval=10 ** 9, seed=1204,
     )
 
@@ -174,15 +183,23 @@ class _EpochLoader:
     tuples, one recorded epoch per ``__iter__`` (train() re-iterates per
     epoch)."""
 
-    def __init__(self, per_epoch, n_samples: int):
+    def __init__(self, per_epoch, n_samples: int, mc: bool = False):
         self._epochs = list(per_epoch)
         self._next = 0
+        self.mc = mc
         self.dataset = [None] * n_samples  # train() reads len(loader.dataset)
 
     def __iter__(self):
         batches = self._epochs[min(self._next, len(self._epochs) - 1)]
         self._next += 1
         t = torch.from_numpy
+        if self.mc:
+            # MC loader tuple: (v, b, q, label[B,4], ans_mc[B,4,6], ans_gt)
+            return iter([
+                (t(b["v"]), t(b["b"]), t(b["q"]), t(b["label"]),
+                 t(b["ans_mc"]), torch.zeros(B))
+                for b in batches
+            ])
         return iter([
             (t(b["v"]), t(b["b"]), t(b["q"]), t(b["target"]), t(b["a"]),
              torch.zeros(B), t(b["t_logits"]))
@@ -190,12 +207,14 @@ class _EpochLoader:
         ])
 
 
-def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir):
-    """Drive the reference's own composed train() loop, recording every
-    microbatch loss, every update's pre-clip grad norm, and the live
-    optimizer lr at each step."""
+def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
+                   pipeline="ffoe"):
+    """Drive the reference's own composed train() loop (FFOE or MC),
+    recording every microbatch loss, every update's pre-clip grad norm, and
+    the live optimizer lr at each step."""
     losses, norms, lrs = [], [], []
-    Trainer = ref.trainer.Trainer
+    train_mod = ref.train if pipeline == "ffoe" else ref.mc_train
+    Trainer = (ref.trainer if pipeline == "ffoe" else ref.mc_trainer).Trainer
     orig_fwd, orig_step = Trainer._forward, Trainer.train_step
 
     def rec_fwd(self, sample, eval=False):
@@ -212,8 +231,9 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir):
 
     Trainer._forward, Trainer.train_step = rec_fwd, rec_step
     try:
-        loader = _EpochLoader(per_epoch, n_samples=L * B)
-        ref.train.train(args, model_t, loader, None, num_epochs, outdir)
+        loader = _EpochLoader(per_epoch, n_samples=L * B,
+                              mc=(pipeline == "mc"))
+        train_mod.train(args, model_t, loader, None, num_epochs, outdir)
     finally:
         Trainer._forward, Trainer.train_step = orig_fwd, orig_step
     return losses, norms, lrs
@@ -298,3 +318,98 @@ def test_reference_lr_state_machine_full_schedule(ref, tmp_path):
     tcfg = TrainConfig(update_freq=2, batch_size=B)
     want = [lr_for_epoch(tcfg, e) for e in range(num_epochs) for _ in range(L)]
     np.testing.assert_allclose(ref_lrs, want, rtol=1e-12)
+
+
+def test_san_kd_trajectory_matches_reference(ref, tmp_path):
+    """SAN student + distillation criterion through the same composed-loop
+    oracle (trainer.py:181-192 'san' branch)."""
+    _assert_trajectory(ref, "san", distillation=True, use_counter=False,
+                       tmp_path=tmp_path)
+
+
+def _make_mc_batches(seed: int, n_epochs: int):
+    rng = np.random.RandomState(seed)
+    per_epoch = []
+    for _ in range(n_epochs):
+        batches = []
+        for _ in range(L):
+            v = rng.randn(B, V, V_DIM).astype(np.float32)
+            v[:, V - 1:] = 0.0
+            gt = rng.randint(0, 4, B)
+            label = np.zeros((B, 4), np.float32)
+            label[np.arange(B), gt] = 1.0
+            batches.append(dict(
+                v=v,
+                b=np.abs(rng.randn(B, V, 6)).astype(np.float32),
+                v_mask=(np.abs(v).sum(-1) != 0),
+                q=rng.randint(0, NTOKEN + 1, (B, Q)).astype(np.int64),
+                label=label,
+                ans_mc=rng.randint(0, NTOKEN + 1, (B, 4, 6)).astype(np.int64),
+                qid=np.arange(B, dtype=np.int64),
+            ))
+        per_epoch.append(batches)
+    return per_epoch
+
+
+def test_mc_tan_trajectory_matches_reference(ref, tmp_path):
+    """The MC pipeline has its OWN loop/Trainer (MC/train.py:22-120 with the
+    x4 candidate expansion, MC/trainer.py) — run them end to end against
+    vqatpu's TanModel + expand_mc_batch + jitted step."""
+    from vqatpu.data.mc_dataset import expand_mc_batch
+
+    num_epochs, update_freq = 3, 2
+    cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
+                      model="cti", task="mc", num_hid=HID, h_mm=HMM,
+                      rank=RANK, gamma=GAMMA)
+    model_j = build_model(cfg)
+    state = make_train_state(model_j, jax.random.PRNGKey(0))
+
+    args = _args("cti", update_freq=update_freq)
+    model_t = ref.mc_base.build_cti(args, _dataset_stub())
+    _zero_dropout(model_t)
+    sd = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+          for k, v in export_state_dict(model_j, state.params).items()}
+    result = model_t.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert all(k.startswith(_DEAD_PREFIXES) for k in result.missing_keys), \
+        result.missing_keys
+    for name, param in model_t.named_parameters():
+        if name.startswith(_DEAD_PREFIXES):
+            param.requires_grad = False
+
+    per_epoch = _make_mc_batches(seed=13, n_epochs=num_epochs)
+    ref_losses, ref_norms, ref_lrs = _run_reference(
+        ref, args, model_t, per_epoch, num_epochs, str(tmp_path / "ref"),
+        pipeline="mc")
+
+    tcfg = TrainConfig(update_freq=update_freq, deterministic=True,
+                       batch_size=B)
+    step = make_train_step(model_j, tcfg, mc_scoring=True)
+    key = jax.random.PRNGKey(0)
+    j_losses, j_norms = [], []
+    from vqatpu.train.optim import lr_for_epoch
+
+    for epoch in range(num_epochs):
+        lr = lr_for_epoch(tcfg, epoch)
+        for batch in per_epoch[epoch]:
+            ex = expand_mc_batch(batch)
+            db = {k: jnp.asarray(v) for k, v in ex.items()
+                  if k in ("v", "b", "q", "a", "target")}
+            state, metrics = step(state, db, jnp.float32(lr), key, False)
+            j_losses.append(float(metrics["loss"]))
+            if int(metrics["updated"]):
+                j_norms.append(float(metrics["grad_norm"]))
+
+    np.testing.assert_allclose(j_losses, ref_losses, rtol=1e-4, atol=1e-5,
+                               err_msg="MC per-microbatch loss diverged")
+    np.testing.assert_allclose(j_norms, ref_norms, rtol=1e-3, atol=1e-5,
+                               err_msg="MC per-update grad norm diverged")
+
+    got = export_state_dict(model_j, state.params)
+    want = model_t.state_dict()
+    live = {k for k in want if not k.startswith(_DEAD_PREFIXES)}
+    assert set(got) == live
+    for k in sorted(got):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].detach().numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f"MC param {k} diverged")

@@ -98,6 +98,26 @@ def _put_biattention(sd, prefix, att, p):
     sd[prefix + ".logits.h_mat_g"] = _np(p["h_mat_g"]).reshape(())
 
 
+def _put_linear(sd, prefix, p):
+    """Plain nn.Linear (SAN's StackedAttention uses no weight norm)."""
+    sd[prefix + ".weight"] = _np(p["w"])
+    if "b" in p:
+        sd[prefix + ".bias"] = _np(p["b"])
+
+
+def _put_san_att(sd, prefix, p):
+    """StackedAttention naming (attention.py:78-88): fc11..fc15 + a flat
+    ``layers`` ModuleList with 3 Linears per extra stack."""
+    for nm in ("fc11", "fc12", "fc13", "fc14", "fc15"):
+        _put_linear(sd, f"{prefix}.{nm}", p[nm])
+    s = 0
+    while f"w{s}_q" in p:
+        _put_linear(sd, f"{prefix}.layers.{3 * s}", p[f"w{s}_q"])
+        _put_linear(sd, f"{prefix}.layers.{3 * s + 1}", p[f"w{s}_i"])
+        _put_linear(sd, f"{prefix}.layers.{3 * s + 2}", p[f"w{s}_h"])
+        s += 1
+
+
 def _put_classifier(sd, prefix, p):
     _put_wn(sd, f"{prefix}.main.0", p["l1"])
     _put_wn(sd, f"{prefix}.main.3", p["l2"])
@@ -140,7 +160,9 @@ def export_state_dict(model, params) -> Dict[str, np.ndarray]:
     _put_gru(sd, "q_emb", params["q_emb"])
     _put_classifier(sd, "classifier", params["classifier"])
 
-    if name == "BanModel":
+    if name == "StackedAttentionModel":
+        _put_san_att(sd, "v_att", params["v_att"])
+    elif name == "BanModel":
         _put_biattention(sd, "v_att", model.v_att, params["v_att"])
         for g in range(model.cfg.gamma):
             _put_bcnet(sd, f"b_net.{g}", model.b_net, params[f"b_net{g}"],
