@@ -194,10 +194,15 @@ class _EpochLoader:
         self._next += 1
         t = torch.from_numpy
         if self.mc:
-            # MC loader tuple: (v, b, q, label[B,4], ans_mc[B,4,6], ans_gt)
+            # MC loader tuple: (v, b, q, label[B,4], ans_mc[B,4,6], ans_gt).
+            # b is fed PRE-expanded x4: the reference's MC train() expands
+            # v/q/ans_mc but forgot b (MC/train.py:76-80), so its BAN+counter
+            # crashes on the [B] vs [B*4] mismatch in Counter
+            # (counting.py:100) — expanding here is the intended data shape
+            # and lets the oracle run; BanModelMC's forward uses b verbatim.
             return iter([
-                (t(b["v"]), t(b["b"]), t(b["q"]), t(b["label"]),
-                 t(b["ans_mc"]), torch.zeros(B))
+                (t(b["v"]), t(np.repeat(b["b"], 4, axis=0)), t(b["q"]),
+                 t(b["label"]), t(b["ans_mc"]), torch.zeros(B))
                 for b in batches
             ])
         return iter([
@@ -351,21 +356,24 @@ def _make_mc_batches(seed: int, n_epochs: int):
     return per_epoch
 
 
-def test_mc_tan_trajectory_matches_reference(ref, tmp_path):
+def _assert_mc_trajectory(ref, tmp_path, model_name: str,
+                          use_counter: bool = False):
     """The MC pipeline has its OWN loop/Trainer (MC/train.py:22-120 with the
     x4 candidate expansion, MC/trainer.py) — run them end to end against
-    vqatpu's TanModel + expand_mc_batch + jitted step."""
+    vqatpu's MC models + expand_mc_batch + jitted step."""
     from vqatpu.data.mc_dataset import expand_mc_batch
 
     num_epochs, update_freq = 3, 2
     cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
-                      model="cti", task="mc", num_hid=HID, h_mm=HMM,
-                      rank=RANK, gamma=GAMMA)
+                      model=model_name, task="mc", num_hid=HID, h_mm=HMM,
+                      rank=RANK, gamma=GAMMA, use_counter=use_counter)
     model_j = build_model(cfg)
     state = make_train_state(model_j, jax.random.PRNGKey(0))
 
-    args = _args("cti", update_freq=update_freq)
-    model_t = ref.mc_base.build_cti(args, _dataset_stub())
+    args = _args(model_name, update_freq=update_freq,
+                 use_counter=use_counter)
+    model_t = getattr(ref.mc_base, f"build_{model_name}")(args,
+                                                          _dataset_stub())
     _zero_dropout(model_t)
     sd = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
           for k, v in export_state_dict(model_j, state.params).items()}
@@ -413,3 +421,16 @@ def test_mc_tan_trajectory_matches_reference(ref, tmp_path):
         np.testing.assert_allclose(
             np.asarray(got[k]), want[k].detach().numpy(),
             rtol=2e-4, atol=2e-4, err_msg=f"MC param {k} diverged")
+
+
+def test_mc_tan_trajectory_matches_reference(ref, tmp_path):
+    _assert_mc_trajectory(ref, tmp_path, "cti")
+
+
+def test_mc_ban_counter_trajectory_matches_reference(ref, tmp_path):
+    """BanModelMC: dual BiAttention + tva_net stream + counter.  The
+    reference's MC build_ban constructs c_prj unconditionally
+    (MC/base_model.py:176), so WITHOUT the counter those params get no
+    gradient and its own _get_flat_grads raises — i.e. the reference MC BAN
+    is only trainable with use_counter=True; that is the scenario run."""
+    _assert_mc_trajectory(ref, tmp_path, "ban", use_counter=True)
