@@ -424,3 +424,39 @@ def test_train_loop_tp_flag(tmp_path):
     with pytest.raises(AssertionError, match="fused_v_tucker"):
         train(model_fused, SynthVQADataset(8, num_ans=16, seed=5), None, tcfg,
               str(tmp_path / "fused"), tp=2)
+
+
+def test_skip_nonfinite_guard(rng):
+    """skip_nonfinite: a NaN-loss microbatch contributes zero gradient (the
+    reference's zero-grad recovery semantics, trainer.py:141-143 + the OOM
+    path); without the knob the NaNs propagate into the params."""
+    cfg = tiny_cfg(model="cti")
+    model = build_model(cfg)
+    batch = {
+        "v": jnp.asarray(rng.randn(4, 8, cfg.v_dim).astype(np.float32)),
+        "q": jnp.asarray(rng.randint(0, cfg.ntoken, (4, 12))),
+        "a": jnp.asarray(rng.randint(0, cfg.ntoken, (4, 3))),
+        "target": jnp.asarray(rng.rand(4, cfg.num_ans_candidates).astype(np.float32)),
+    }
+    bad = dict(batch, v=batch["v"].at[0, 0, 0].set(jnp.nan))
+
+    def run(skip):
+        state = make_train_state(model, jax.random.PRNGKey(0))
+        step = make_train_step(model, TrainConfig(update_freq=1,
+                                                  skip_nonfinite=skip))
+        state, m = step(state, bad, jnp.float32(1e-3), jax.random.PRNGKey(1))
+        finite = all(np.isfinite(np.asarray(x)).all()
+                     for x in jax.tree.leaves(state.params))
+        return finite, int(m["skipped"])
+
+    finite_guarded, skipped = run(True)
+    assert finite_guarded and skipped == 1
+    finite_raw, skipped_raw = run(False)
+    assert not finite_raw and skipped_raw == 0
+
+    # finite batches never trip the guard
+    state = make_train_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model, TrainConfig(update_freq=1,
+                                              skip_nonfinite=True))
+    _, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert int(m["skipped"]) == 0 and int(m["updated"]) == 1

@@ -86,6 +86,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="checkpoint format (orbax = sharded/multi-host)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--skip_nonfinite", action="store_true", default=False,
+                        help="zero the gradient of non-finite-loss "
+                             "microbatches on-device (the reference's "
+                             "overflow recovery, trainer.py:141-143)")
     parser.add_argument("--optim_state_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Adamax m/u storage dtype (bfloat16 halves the "
@@ -161,6 +165,7 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         alpha=args.alpha,
         compute_dtype=args.compute_dtype,
         optim_state_dtype=getattr(args, "optim_state_dtype", "float32"),
+        skip_nonfinite=getattr(args, "skip_nonfinite", False),
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),
         mask_bits=getattr(args, "mask_bits", 32),

@@ -117,3 +117,9 @@ class TrainConfig:
     # trajectory-parity tests, where torch/jax RNG streams can never align,
     # and for debugging; no reference analogue.
     deterministic: bool = False
+    # Skip the optimizer update when the microbatch loss is non-finite —
+    # the on-device analog of the reference's OverflowError zero-grad
+    # recovery (trainer.py:141-143), without a host round-trip.  The
+    # skipped step reports metrics["skipped"]=1.  Default off: exact
+    # reference semantics propagate whatever the math produces.
+    skip_nonfinite: bool = False

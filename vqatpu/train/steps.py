@@ -171,6 +171,16 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
         if any_frozen:
             grads = mask_grads(grads, trainable_mask(state.params, tfidf_loaded))
 
+        finite = jnp.isfinite(loss)
+        if cfg.skip_nonfinite:
+            # on-device analog of the reference's OverflowError zero-grad
+            # recovery (trainer.py:141-143): a non-finite microbatch
+            # contributes ZERO gradient; the update cadence and denominator
+            # are unchanged (matching the reference's OOM bookkeeping, which
+            # still appends to sample_sizes, trainer.py:112)
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+
         if cfg.update_freq == 1:
             # fast path: no accumulation buffer traffic (two full param-tree
             # passes saved per step)
@@ -208,6 +218,7 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
             "batch_score": score,
             "updated": ((count >= cfg.update_freq) | force_update
                         ).astype(jnp.int32),
+            "skipped": ((~finite) & cfg.skip_nonfinite).astype(jnp.int32),
         }
         return new_state, metrics
 
