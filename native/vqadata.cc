@@ -95,6 +95,7 @@ struct Loader {
   int64_t batch_size;
   int64_t max_boxes;
   bool drop_last;
+  int64_t assemble_threads = 1;  // fan-out within the prefetch worker
 
   std::deque<std::vector<int64_t>> orders;  // pending epoch orders
   std::vector<Slot> slots;                  // registered ring buffers
@@ -144,8 +145,24 @@ struct Loader {
           std::memset(s.mask + rows * max_boxes, 0,
                       (batch_size - rows) * max_boxes);
         }
-        assemble_range(store, images.data(), 0, rows, max_boxes, s.v, s.b,
-                       s.mask);
+        if (assemble_threads <= 1 || rows < 8) {
+          assemble_range(store, images.data(), 0, rows, max_boxes, s.v, s.b,
+                         s.mask);
+        } else {
+          std::vector<std::thread> pool;
+          const int64_t chunk =
+              (rows + assemble_threads - 1) / assemble_threads;
+          for (int64_t t = 0; t < assemble_threads; ++t) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min(rows, lo + chunk);
+            if (lo >= hi) break;
+            pool.emplace_back([&, lo, hi] {
+              assemble_range(store, images.data(), lo, hi, max_boxes, s.v,
+                             s.b, s.mask);
+            });
+          }
+          for (auto& th : pool) th.join();
+        }
         {
           std::lock_guard<std::mutex> lock(mu);
           ready.push_back(slot_id);
@@ -194,13 +211,15 @@ void vqadata_assemble(void* handle, const int64_t* image_idx, int64_t n,
 
 void* vqadata_loader_create(void* store_handle, const int64_t* row_to_image,
                             int64_t n_rows, int64_t batch_size,
-                            int64_t max_boxes, int drop_last) {
+                            int64_t max_boxes, int drop_last,
+                            int64_t assemble_threads) {
   auto* l = new Loader();
   l->store = *static_cast<Store*>(store_handle);
   l->row_to_image.assign(row_to_image, row_to_image + n_rows);
   l->batch_size = batch_size;
   l->max_boxes = max_boxes;
   l->drop_last = drop_last != 0;
+  l->assemble_threads = assemble_threads;
   l->worker = std::thread([l] { l->run(); });
   return l;
 }

@@ -45,7 +45,7 @@ def _load_library():
     lib.vqadata_loader_create.restype = ctypes.c_void_p
     lib.vqadata_loader_create.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int]
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int64]
     lib.vqadata_loader_push_order.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.vqadata_loader_register_slot.argtypes = [
@@ -127,11 +127,15 @@ class NativeBatchLoader:
     Multi-host lockstep ordering therefore holds with either loader."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 1204, drop_last: bool = False):
+                 seed: int = 1204, drop_last: bool = False,
+                 assemble_threads: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        if assemble_threads <= 0:
+            # leave one core for the consumer/dispatch thread
+            assemble_threads = max(1, (os.cpu_count() or 1) - 1)
         self._rng = np.random.RandomState(seed)  # matches BatchLoader._rng
         lib = _load_library()
         assert lib is not None, "libvqadata.so unavailable"
@@ -153,7 +157,7 @@ class NativeBatchLoader:
 
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
-            self.max_boxes, int(drop_last))
+            self.max_boxes, int(drop_last), assemble_threads)
         # zero-copy ring: the worker assembles straight into these numpy
         # buffers; a yielded batch's v/b/v_mask/idx VIEWS stay valid until
         # the next next_batch() call (which recycles the slot)
