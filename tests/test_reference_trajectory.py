@@ -372,8 +372,9 @@ def _assert_mc_trajectory(ref, tmp_path, model_name: str,
 
     args = _args(model_name, update_freq=update_freq,
                  use_counter=use_counter)
-    model_t = getattr(ref.mc_base, f"build_{model_name}")(args,
-                                                          _dataset_stub())
+    builder = {"san": "build_stacked_attention"}.get(
+        model_name, f"build_{model_name}")  # the MC 'san' naming mismatch
+    model_t = getattr(ref.mc_base, builder)(args, _dataset_stub())
     _zero_dropout(model_t)
     sd = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
           for k, v in export_state_dict(model_j, state.params).items()}
@@ -425,6 +426,14 @@ def _assert_mc_trajectory(ref, tmp_path, model_name: str,
 
 def test_mc_tan_trajectory_matches_reference(ref, tmp_path):
     _assert_mc_trajectory(ref, tmp_path, "cti")
+
+
+def test_mc_san_trajectory_matches_reference(ref, tmp_path):
+    """MC SAN (dual question/answer StackedAttention streams).  Note the
+    reference's own MC main.py cannot reach this model (--model san vs the
+    builder named build_stacked_attention, MC/main.py:30 vs
+    MC/base_model.py:211) — the oracle calls the builder directly."""
+    _assert_mc_trajectory(ref, tmp_path, "san")
 
 
 def test_mc_ban_counter_trajectory_matches_reference(ref, tmp_path):

@@ -162,6 +162,13 @@ def export_state_dict(model, params) -> Dict[str, np.ndarray]:
 
     if name == "StackedAttentionModel":
         _put_san_att(sd, "v_att", params["v_att"])
+    elif name == "StackedAttentionModelMC":
+        # MC SAN: dual question/answer attention streams
+        # (MC/base_model.py:80-109)
+        _put_word_emb(sd, "wa_emb", params["wa_emb"])
+        _put_gru(sd, "a_emb", params["a_emb"])
+        _put_san_att(sd, "v_att", params["v_att"])
+        _put_san_att(sd, "va_att", params["va_att"])
     elif name == "BanModel":
         _put_biattention(sd, "v_att", model.v_att, params["v_att"])
         for g in range(model.cfg.gamma):
