@@ -83,19 +83,33 @@ class InferenceSession:
                q: np.ndarray, a: Optional[np.ndarray] = None) -> np.ndarray:
         """Batched raw logits. ``v [N, boxes<=max_boxes, v_dim]``,
         ``q [N, Q]`` int tokens, ``a [N, A]`` (CTI).  N may exceed the
-        largest bucket; requests are chunked."""
+        largest bucket; requests are chunked.
+
+        Chunks are software-pipelined one deep: chunk *i*'s host->device
+        transfer and compute are dispatched (both async under jax) before
+        chunk *i-1*'s blocking logit readback, so the dominant feature copy
+        (see ``transfer_dtype`` note above) overlaps the previous chunk's
+        compute + readback instead of serializing after it.
+        """
         n = v.shape[0]
         out = []
         largest = self.batch_buckets[-1]
+        pending = None  # (rows, device logits) of the previous chunk
         for start in range(0, n, largest):
-            out.append(self._logits_chunk(
+            dev, rows = self._dispatch_chunk(
                 v[start:start + largest],
                 None if b is None else b[start:start + largest],
                 q[start:start + largest],
-                None if a is None else a[start:start + largest]))
+                None if a is None else a[start:start + largest])
+            if pending is not None:
+                out.append(np.asarray(pending[1])[:pending[0]])
+            pending = (rows, dev)
+        out.append(np.asarray(pending[1])[:pending[0]])
         return np.concatenate(out, 0)
 
-    def _logits_chunk(self, v, b, q, a) -> np.ndarray:
+    def _dispatch_chunk(self, v, b, q, a):
+        """Enqueue one chunk's transfer + predict; returns the (not yet
+        read back) device logits and the real row count."""
         n = v.shape[0]
         bucket = self._bucket_for(n)
 
@@ -125,8 +139,7 @@ class InferenceSession:
             batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(wire))))
         if a is not None:
             batch["a"] = jnp.asarray(pad_rows(a.astype(np.int32)))
-        logits = self._predict_fn(bucket)(self.params, batch)
-        return np.asarray(logits)[:n]
+        return self._predict_fn(bucket)(self.params, batch), n
 
     def answer(self, v, b, q, a=None) -> List[str]:
         """Argmax answer strings for a batch of requests."""
