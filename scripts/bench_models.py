@@ -30,6 +30,10 @@ CONFIGS = {
     "ban_256": dict(model="ban", B=256),
     "ban_counter_256": dict(model="ban", B=256, use_counter=True),
     "san_256": dict(model="san", B=256),
+    # BAN is GEMM-bound (k=3 2048->3072 projections, ~6x CTI's tucker
+    # FLOPs): bf16 activations win ~27% here where CTI measures even
+    # (scripts/ab_ban_dtype.py, PROFILE.md r3)
+    "ban_256_bf16": dict(model="ban", B=256, compute_dtype="bfloat16"),
     "cti_1024": dict(model="cti", B=1024),
     # MC TanModel at the reference batch 64, x4 candidate expansion
     # (MC/train.py:74-83) => 256 device rows
@@ -46,6 +50,7 @@ MATRIX_PATH = os.path.join(os.path.dirname(os.path.dirname(
 def make(name):
     spec = dict(CONFIGS[name])
     B = spec.pop("B")
+    compute_dtype = spec.pop("compute_dtype", "float32")
     V, Q = 50, 12
     A = 6 if spec.get("task") == "mc" else 3
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
@@ -65,7 +70,8 @@ def make(name):
     if spec.get("use_counter"):
         batch["b"] = jnp.asarray(rng.rand(B, V, 6).astype(np.float32))
     state = make_train_state(model, jax.random.PRNGKey(0))
-    step = make_train_step(model, TrainConfig(update_freq=1, batch_size=B),
+    step = make_train_step(model, TrainConfig(update_freq=1, batch_size=B,
+                                              compute_dtype=compute_dtype),
                            mc_scoring=(spec.get("task") == "mc"))
     return B, batch, state, step, model
 
