@@ -33,6 +33,27 @@ def test_ban_overfits_tiny_dataset(tmp_path):
     assert score > 0.5 * bound, (score, bound)
 
 
+def test_ban_counter_overfits_in_bfloat16(tmp_path):
+    """BAN is the GEMM-bound family where bf16 buys −27% step time
+    (PROFILE.md r3, scripts/ab_ban_dtype.py) — prove the recommended
+    deployment knob still learns through BAN's trickiest numerics
+    (counter IoU graph + PiecewiseLin) with bf16 activations."""
+    root = str(tmp_path / "data")
+    d = make_vqa_fixture(root, n_train=32, n_val=32, n_images=8, v_dim=16,
+                         seed=7)
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+
+    cfg = TrainConfig(epochs=18, batch_size=8, update_freq=1, saving_epoch=99,
+                      lr=2e-3, compute_dtype="bfloat16")
+    model = build_model(small_cfg(train_ds, "ban", use_counter=True))
+    state = train(model, train_ds, None, cfg, str(tmp_path / "out"),
+                  use_mesh=False, print_interval=10**9)
+
+    score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8))
+    assert bound > 0.5
+    assert score > 0.5 * bound, (score, bound)
+
+
 def test_cti_overfits_in_bfloat16(tmp_path):
     """bf16 activations (compute_dtype knob) still learn: CTI overfits the
     tiny fixture with bf16 forward/backward and f32 master params/loss —
