@@ -105,3 +105,13 @@ def test_transfer_dtype_halves_wire_precision_only(session_fixture_args=None):
     l16 = s16.logits(v, None, q, a)
     np.testing.assert_allclose(l16, l32, atol=5e-2)
     assert not np.array_equal(l16, l32)  # genuinely narrowed on the wire
+
+    # bf16 forward (the BAN serving throughput knob): f32 logits out, close
+    # to the f32 path, composes with the narrowed wire format
+    sbf = InferenceSession(model, params, ["x"] * 11, batch_buckets=(4,),
+                           max_boxes=6, transfer_dtype=np.float16,
+                           compute_dtype="bfloat16")
+    lbf = sbf.logits(v, None, q, a)
+    assert lbf.dtype == np.float32
+    np.testing.assert_allclose(lbf, l32, atol=2e-1, rtol=2e-1)
+    assert not np.array_equal(lbf, l32)

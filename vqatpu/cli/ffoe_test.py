@@ -43,7 +43,8 @@ def main(argv=None):
                           load_params_any(args.input, args.epoch, model))
 
     loader = BatchLoader(eval_dset, args.batch_size)
-    logits, qids = get_logits(model, params, loader)
+    logits, qids = get_logits(model, params, loader,
+                              compute_dtype=args.compute_dtype)
     if args.debug:
         e = eval_dset.entries[0]
         idx2word = dictionary.idx2word

@@ -41,7 +41,8 @@ def main(argv=None):
     params = jax.tree.map(jax.numpy.asarray,
                           load_params_any(args.input, args.epoch, model))
 
-    acc, _ = evaluate_mc(model, params, BatchLoader(eval_dset, args.batch_size))
+    acc, _ = evaluate_mc(model, params, BatchLoader(eval_dset, args.batch_size),
+                         compute_dtype=args.compute_dtype)
     print(f"{args.split} accuracy: {100 * acc:.2f}")
 
 

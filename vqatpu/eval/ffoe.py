@@ -19,10 +19,11 @@ from vqatpu.data.batching import BatchLoader
 from vqatpu.train.steps import make_eval_step
 
 
-def get_logits(model, params, loader: BatchLoader
+def get_logits(model, params, loader: BatchLoader,
+               compute_dtype: str = "float32"
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Sweep the loader; -> (pred [N, num_ans], qids [N])."""
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     preds, qids = [], []
     for batch in loader:
         valid = batch.pop("valid")
@@ -60,11 +61,11 @@ def _maybe_shard(db: dict, mesh):
     return shard_batch(db, mesh)
 
 
-def evaluate(model, params, loader: BatchLoader, mesh=None
-             ) -> Tuple[float, float]:
+def evaluate(model, params, loader: BatchLoader, mesh=None,
+             compute_dtype: str = "float32") -> Tuple[float, float]:
     """Soft-accuracy + upper bound over a val loader
     (``FFOE/train.py:119-149``)."""
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     score = 0.0
     upper = 0.0
     n = 0

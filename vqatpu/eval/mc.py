@@ -44,13 +44,13 @@ def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
     return (chosen - gt_emb).sum(axis=1) == 0
 
 
-def evaluate_mc(model, params, loader: BatchLoader, mesh=None
-                ) -> Tuple[float, float]:
+def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
+                compute_dtype: str = "float32") -> Tuple[float, float]:
     """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
     training (``MC/test.py:89-126``)."""
     from vqatpu.eval.ffoe import _maybe_shard
 
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     score = 0.0
     n = 0
     for batch in loader:

@@ -34,8 +34,17 @@ from vqatpu.train.checkpoints import load_checkpoint
 class InferenceSession:
     def __init__(self, model, params, label2ans: Sequence[str],
                  batch_buckets: Sequence[int] = (1, 8, 32, 128),
-                 max_boxes: int = 50, transfer_dtype=None):
+                 max_boxes: int = 50, transfer_dtype=None,
+                 compute_dtype: str = "float32"):
         self.model = model
+        # compute_dtype="bfloat16" runs the forward in bf16 (params cast
+        # ONCE here, features cast device-side; logits return f32) — the
+        # measured BAN throughput knob (-27% step, PROFILE.md r3).  f32
+        # default keeps logits bit-exact with eval/test.
+        self.compute_dtype = compute_dtype
+        if compute_dtype == "bfloat16":
+            from vqatpu.train.steps import cast_floats
+            params = cast_floats(params, jnp.bfloat16)
         self.params = params
         self.label2ans = list(label2ans)
         self.batch_buckets = sorted(batch_buckets)
@@ -61,14 +70,17 @@ class InferenceSession:
         if bucket not in self._predict_cache:
             model = self.model
 
+            act = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                   else jnp.float32)
+
             @jax.jit
             def predict(params, batch):
-                if "v" in batch and batch["v"].dtype != jnp.float32:
-                    batch = dict(batch, v=batch["v"].astype(jnp.float32))
+                if "v" in batch and batch["v"].dtype != act:
+                    batch = dict(batch, v=batch["v"].astype(act))
                     if "b" in batch:
-                        batch["b"] = batch["b"].astype(jnp.float32)
+                        batch["b"] = batch["b"].astype(act)
                 logits, _ = model.apply(params, batch)
-                return logits
+                return logits.astype(jnp.float32)
 
             self._predict_cache[bucket] = predict
         return self._predict_cache[bucket]

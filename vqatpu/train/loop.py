@@ -89,7 +89,8 @@ def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
                                              local_batch_slice)
     from vqatpu.train.steps import make_eval_step
 
-    eval_step = make_eval_step(model, mc_scoring=(task == "mc"))
+    eval_step = make_eval_step(model, mc_scoring=(task == "mc"),
+                               compute_dtype=cfg.compute_dtype)
     loader = BatchLoader(eval_ds, cfg.batch_size * 2)
     score = upper = 0.0
     n = 0
@@ -283,11 +284,13 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 # reference evaluates with a 2x batch (FFOE/main.py:146)
                 eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
                 if task == "mc":
-                    eval_score, bound = evaluate_mc(model, state.params,
-                                                    eval_loader, mesh=mesh)
+                    eval_score, bound = evaluate_mc(
+                        model, state.params, eval_loader, mesh=mesh,
+                        compute_dtype=cfg.compute_dtype)
                 else:
-                    eval_score, bound = evaluate_ffoe(model, state.params,
-                                                      eval_loader, mesh=mesh)
+                    eval_score, bound = evaluate_ffoe(
+                        model, state.params, eval_loader, mesh=mesh,
+                        compute_dtype=cfg.compute_dtype)
 
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"

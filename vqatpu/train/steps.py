@@ -225,18 +225,28 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
     return train_step
 
 
-def make_eval_step(model, mc_scoring: bool = False):
+def make_eval_step(model, mc_scoring: bool = False,
+                   compute_dtype: str = "float32"):
     """Eval: logits + soft score + upper bound (``FFOE/train.py:119-149``).
 
     ``mc_scoring`` scores 4-candidate groups device-side
     (``MC/train.py:14-19``) — needed by the multi-process eval path, where
     per-row logits are sharded across hosts and only replicated scalars are
     host-readable.  Zero-padded rows contribute 0 to score and bound either
-    way, so padded final batches stay exact."""
+    way, so padded final batches stay exact.
+
+    ``compute_dtype="bfloat16"`` casts params + features for the forward
+    (logits return f32): the BAN throughput knob (PROFILE.md r3) for
+    per-epoch evals and serving; default f32 keeps logits bit-exact."""
+    half = jnp.bfloat16 if compute_dtype == "bfloat16" else None
 
     @jax.jit
     def eval_step(params, batch):
+        if half is not None:
+            params = cast_floats(params, half)
+            batch = dict(batch, v=batch["v"].astype(half))
         logits, _ = model.apply(params, batch)
+        logits = logits.astype(jnp.float32)
         out = {"logits": logits}
         if "target" in batch:
             if mc_scoring:
