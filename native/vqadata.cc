@@ -247,6 +247,21 @@ void vqadata_loader_register_slot(void* handle, float* v, float* b,
   l->free_slots.push_back(static_cast<int64_t>(l->slots.size()) - 1);
 }
 
+// Replace a slot's v/b output buffers.  Called by the consumer on the slot
+// it currently HOLDS (returned by the last loader_next and not yet
+// released), immediately before releasing it: the consumer keeps ownership
+// of the previous buffers (which downstream zero-copy consumers — e.g.
+// JAX's CPU backend aliasing numpy memory — may still be reading) and the
+// worker's next assembly into this slot lands in fresh memory.  The mutex
+// orders the pointer swap before the release that publishes the slot.
+void vqadata_loader_swap_vb(void* handle, int64_t slot_id, float* v,
+                            float* b) {
+  auto* l = static_cast<Loader*>(handle);
+  std::lock_guard<std::mutex> lock(l->mu);
+  l->slots[slot_id].v = v;
+  l->slots[slot_id].b = b;
+}
+
 // Blocks until a batch is ready; hands back its SLOT id (zero-copy — the
 // caller reads the buffers it registered).  ``release_slot`` recycles the
 // previously returned slot: pass -1 on the first call, then the prior

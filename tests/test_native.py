@@ -75,6 +75,33 @@ def test_native_loader_shuffle_order_matches_python(dataset):
         nat.close()
 
 
+def test_native_loader_batches_survive_slot_recycle(dataset):
+    """JAX on CPU aliases numpy buffers ZERO-COPY (device_put/jit arguments
+    share memory with the source array).  A yielded batch therefore must
+    never be rewritten by the prefetch worker, even after the consumer moves
+    on — otherwise a held (or still-executing) jax.Array is scrambled
+    in-flight.  Regression test for the ring-recycle race that made
+    test_train_loop_through_native_loader flake under host contention."""
+    import jax
+
+    py = BatchLoader(dataset, batch_size=8, shuffle=True, seed=3,
+                     drop_last=True)
+    nat = native.NativeBatchLoader(dataset, batch_size=8, shuffle=True,
+                                   seed=3, drop_last=True)
+    try:
+        expected = [{k: np.array(v) for k, v in b.items()} for b in py]
+        held = []  # device arrays aliasing the yielded buffers
+        for nb in nat:
+            held.append((jax.device_put(nb["v"]), jax.device_put(nb["b"])))
+        # every held array must still equal the Python loader's batch,
+        # even though its slot was recycled many times since
+        for (hv, hb), pb in zip(held, expected):
+            np.testing.assert_array_equal(np.asarray(hv), pb["v"])
+            np.testing.assert_array_equal(np.asarray(hb), pb["b"])
+    finally:
+        nat.close()
+
+
 def test_train_loop_through_native_loader(dataset, tmp_path):
     """A full train() epoch through the native loader equals the Python-
     loader run (loss + eval lines), proving the default-on promotion safe."""

@@ -51,6 +51,8 @@ def _load_library():
     lib.vqadata_loader_register_slot.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.vqadata_loader_swap_vb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.vqadata_loader_next.restype = ctypes.c_int64
     lib.vqadata_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -65,6 +67,21 @@ def available() -> bool:
 
 def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def _aligned_empty(shape, dtype, align: int = 64) -> np.ndarray:
+    """Uninitialized array whose data pointer is ``align``-byte aligned.
+
+    JAX's CPU backend hands sufficiently-aligned numpy buffers to XLA
+    ZERO-COPY (device_put/jit arguments alias the source memory; ~32-byte
+    alignment required, and numpy's own allocator only hits it by luck).
+    Aligning the ring buffers makes the fast path deterministic — and makes
+    the buffer-lifetime discipline below mandatory rather than
+    alignment-roulette."""
+    size = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    buf = np.empty(size + align, np.uint8)
+    off = (-buf.ctypes.data) % align
+    return buf[off:off + size].view(dtype).reshape(shape)
 
 
 class NativeFeatureStore:
@@ -158,21 +175,51 @@ class NativeBatchLoader:
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
             self.max_boxes, int(drop_last), assemble_threads)
-        # zero-copy ring: the worker assembles straight into these numpy
-        # buffers; a yielded batch's v/b/v_mask/idx VIEWS stay valid until
-        # the next next_batch() call (which recycles the slot)
+        # Zero-copy ring with OWNERSHIP ROTATION: the worker assembles
+        # straight into registered numpy buffers, and a yielded batch keeps
+        # its v/b buffers FOREVER (consumers — including JAX's CPU backend,
+        # which aliases aligned numpy memory into jax.Arrays — may hold
+        # them indefinitely).  Before a slot is recycled, fresh v/b buffers
+        # are swapped in (vqadata_loader_swap_vb); retired buffers return
+        # through ``_retired`` and are reused only once their refcount
+        # shows every external holder has dropped them.  mask/indices stay
+        # slot-resident: next_batch copies them out synchronously.
         self._slots = []
         for _ in range(3):
-            slot = (np.zeros((batch_size, self.max_boxes, self.store.v_dim),
-                             np.float32),
-                    np.zeros((batch_size, self.max_boxes, self.store.s_dim),
-                             np.float32),
+            slot = (self._alloc_v(), self._alloc_b(),
                     np.zeros((batch_size, self.max_boxes), np.uint8),
                     np.zeros((batch_size,), np.int64))
             lib.vqadata_loader_register_slot(self._handle, *(_ptr(a)
                                                              for a in slot))
             self._slots.append(slot)
         self._held_slot = -1
+        self._retired: list = []  # [v, b] pairs awaiting exclusive ownership
+
+    def _alloc_v(self) -> np.ndarray:
+        return _aligned_empty(
+            (self.batch_size, self.max_boxes, self.store.v_dim), np.float32)
+
+    def _alloc_b(self) -> np.ndarray:
+        return _aligned_empty(
+            (self.batch_size, self.max_boxes, self.store.s_dim), np.float32)
+
+    def _fresh_vb(self):
+        """Reuse a retired v/b pair iff nothing else references it (the
+        caller's batch dict, a JAX zero-copy alias, or an in-flight device
+        transfer all hold a reference; getrefcount == 3 counts exactly the
+        retired-list entry, the loop binding, and the getrefcount argument).
+        Otherwise allocate fresh — the steady state retires into reuse
+        within a batch or two, so allocation is a cold-start cost only."""
+        import sys
+
+        for i, (v, b) in enumerate(self._retired):
+            if sys.getrefcount(v) == 3 and sys.getrefcount(b) == 3:
+                self._retired.pop(i)
+                return v, b
+        # cap the scan list; dropped entries are freed by their last holder
+        if len(self._retired) > 8:
+            self._retired.pop(0)
+        return self._alloc_v(), self._alloc_b()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -192,7 +239,18 @@ class NativeBatchLoader:
     def next_batch(self) -> Dict[str, np.ndarray]:
         bs = self.batch_size
         rows_out = np.zeros((1,), np.int64)
-        slot = self._lib.vqadata_loader_next(self._handle, self._held_slot,
+        prev = self._held_slot
+        if prev >= 0:
+            # rotate ownership BEFORE recycling: the handed-out v/b of the
+            # previous batch stay with their holders; the slot gets fresh
+            # buffers for the worker's next assembly
+            nv, nb = self._fresh_vb()
+            self._lib.vqadata_loader_swap_vb(self._handle, prev,
+                                             _ptr(nv), _ptr(nb))
+            old_v, old_b, m, idx = self._slots[prev]
+            self._slots[prev] = (nv, nb, m, idx)
+            self._retired.append((old_v, old_b))
+        slot = self._lib.vqadata_loader_next(self._handle, prev,
                                              _ptr(rows_out))
         assert slot >= 0, "native loader stopped"
         self._held_slot = slot
