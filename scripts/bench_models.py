@@ -40,8 +40,14 @@ CONFIGS = {
     "mc_tan_64": dict(model="cti", B=256, task="mc"),
 }
 INFER = {
-    "cti_256_infer": "cti_256",
-    "ban_256_infer": "ban_256",
+    # name -> (train config to borrow shapes from, eval compute_dtype)
+    "cti_256_infer": ("cti_256", "float32"),
+    "ban_256_infer": ("ban_256", "float32"),
+    # bf16 forward (the serving/eval knob wired through
+    # make_eval_step/InferenceSession) — BAN is the GEMM-bound family where
+    # it should win; CTI is the control
+    "ban_256_infer_bf16": ("ban_256", "bfloat16"),
+    "cti_256_infer_bf16": ("cti_256", "bfloat16"),
 }
 MATRIX_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_MATRIX.json")
@@ -77,32 +83,45 @@ def make(name):
 
 
 def _serve_rows(results):
-    """Single-request and batch-32 serve-bucket latency (CTI session)."""
+    """Single-request and batch-32 serve-bucket latency (CTI session) — the
+    default bit-exact session and the fast path (float16 wire + bf16
+    forward), interleaved so the pairs are mutually comparable."""
     from vqatpu.serve import InferenceSession
 
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
                       model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
     model = build_model(cfg)
     params = make_train_state(model, jax.random.PRNGKey(0)).params
-    sess = InferenceSession(model, params, ["a"] * 3129,
-                            batch_buckets=(1, 32), max_boxes=50)
+    sessions = {
+        "": InferenceSession(model, params, ["a"] * 3129,
+                             batch_buckets=(1, 32), max_boxes=50),
+        "_fast": InferenceSession(model, params, ["a"] * 3129,
+                                  batch_buckets=(1, 32), max_boxes=50,
+                                  transfer_dtype=np.float16,
+                                  compute_dtype="bfloat16"),
+    }
     rng = np.random.RandomState(3)
-    for n, label in ((1, "serve_latency_b1"), (32, "serve_latency_b32")):
+    for n, base in ((1, "serve_latency_b1"), (32, "serve_latency_b32")):
         v = rng.randn(n, 50, 2048).astype(np.float32)
         q = rng.randint(0, 20000, (n, 12))
         a = rng.randint(0, 20000, (n, 3))
-        sess.logits(v, None, q, a)  # compile the bucket
-        best = float("inf")
+        for suffix, sess in sessions.items():
+            sess.logits(v, None, q, a)  # compile the bucket
+        best = {s: float("inf") for s in sessions}
         for _ in range(4):
-            t0 = time.perf_counter()
-            for _ in range(20):
-                out = sess.logits(v, None, q, a)
-            float(out.sum())  # readback barrier
-            best = min(best, (time.perf_counter() - t0) / 20)
-        results[label] = {"kind": "serve", "batch": n,
-                          "ms": round(best * 1e3, 3),
-                          "requests_per_sec": round(n / best, 1)}
-        print(f"{label:16s} {best * 1e3:8.2f} ms", flush=True)
+            for suffix, sess in sessions.items():
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    out = sess.logits(v, None, q, a)
+                float(out.sum())  # readback barrier
+                best[suffix] = min(best[suffix],
+                                   (time.perf_counter() - t0) / 20)
+        for suffix in sessions:
+            label = base + suffix
+            results[label] = {"kind": "serve", "batch": n,
+                              "ms": round(best[suffix] * 1e3, 3),
+                              "requests_per_sec": round(n / best[suffix], 1)}
+            print(f"{label:22s} {best[suffix] * 1e3:8.2f} ms", flush=True)
 
 
 def main():
@@ -115,11 +134,11 @@ def main():
         float(np.asarray(m["loss"]))
         runners[name] = ["train", B, batch, state, step]
         print(f"compiled {name}", flush=True)
-    for iname, base in INFER.items():
+    for iname, (base, ev_dtype) in INFER.items():
         if base not in names:
             continue
         B, batch, _, _, model = make(base)
-        ev = make_eval_step(model)
+        ev = make_eval_step(model, compute_dtype=ev_dtype)
         db = {k: v for k, v in batch.items() if k != "target"}
         params = make_train_state(model, jax.random.PRNGKey(0)).params
         out = ev(params, db)
