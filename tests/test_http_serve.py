@@ -124,3 +124,13 @@ def test_build_session_from_checkpoint_cli_path(tmp_path, rng):
     a = rng.randint(0, 20, (2, 3)).astype(np.int32)
     answers = sess.answer(v, None, q, a)
     assert len(answers) == 2 and all(isinstance(x, str) for x in answers)
+
+    # the fast-path CLI flags build a session with the narrowed wire format
+    # and bf16 forward, and it answers identically-shaped output
+    args.transfer_dtype = "float16"
+    args.compute_dtype = "bfloat16"
+    fast, _ = build_session(args)
+    assert fast.transfer_dtype == np.float16
+    assert fast.compute_dtype == "bfloat16"
+    fast_answers = fast.answer(v, None, q, a)
+    assert len(fast_answers) == 2
