@@ -133,6 +133,59 @@ def test_v7w_dataset_and_expansion(tmp_path):
     np.testing.assert_allclose(ex["target"].sum(1), np.ones(32))
 
 
+def test_streaming_feature_store(vqa_root):
+    """features_in_memory=False streams per-image HDF5 slices; every sample
+    must be bit-equal to the resident path (FFOE/dataset.py:282-287 reads
+    the whole file — the streaming mode is the low-RAM alternative)."""
+    root, d = vqa_root
+    ds_mem = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15)
+    ds_str = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                               features_in_memory=False)
+    assert ds_mem.store.in_memory and not ds_str.store.in_memory
+    assert ds_str.v_dim == ds_mem.v_dim
+    for i in (0, 5, len(ds_mem) - 1):
+        a, b = ds_mem.sample(i), ds_str.sample(i)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    mat = ds_str.store.materialize()
+    assert mat.in_memory
+    np.testing.assert_array_equal(np.asarray(mat.features),
+                                  np.asarray(ds_mem.store.features))
+    ds_str.store.close()
+    assert ds_str.store.in_memory  # closed => no live h5 handle
+
+
+def test_zero_array_standin():
+    """Lazy zero spatials for the V7W grid path under streaming stores."""
+    from vqatpu.data.features import ZeroArray
+
+    z = ZeroArray((4, 3, 5))
+    assert z.shape == (4, 3, 5) and z.dtype == np.float32
+    assert z[1].shape == (3, 5) and not z[1].any()
+    assert z[1:3].shape == (2, 3, 5) and not z[1:3].any()
+    with pytest.raises(TypeError):
+        z[[0, 1]]
+
+
+def test_streaming_store_skips_native_loader(vqa_root):
+    """The C++ loader needs resident numpy pointers; a streaming store must
+    fall back to the Python BatchLoader instead of slurping the HDF5."""
+    from types import SimpleNamespace
+
+    from vqatpu.train.loop import _make_loader
+
+    root, d = vqa_root
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                           features_in_memory=False)
+    cfg = SimpleNamespace(batch_size=8, seed=0)
+    loader = _make_loader(ds, cfg, use_native=True)
+    assert type(loader) is BatchLoader
+    batch = next(iter(loader))
+    assert batch["v"].shape == (8, 15, ds.v_dim)
+    ds.store.close()
+
+
 def test_visualgenome_augmentation(vqa_root):
     from vqatpu.data import ConcatDataset, VisualGenomeFeatureDataset
     from vqatpu.data.synthetic import add_visualgenome_fixture

@@ -76,6 +76,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--no_native_loader", dest="native_loader",
                         action="store_false",
                         help="force the pure-Python BatchLoader")
+    parser.add_argument("--stream_features", action="store_true",
+                        default=False,
+                        help="stream image features from the open HDF5 "
+                             "instead of loading the whole file into RAM "
+                             "(low-memory hosts; disables the native "
+                             "loader's zero-copy path)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
     parser.add_argument("--kernel_backend", type=str, default="xla",

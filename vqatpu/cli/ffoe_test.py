@@ -34,7 +34,8 @@ def main(argv=None):
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
     ds_cls = TDIUCFeatureDataset if args.use_TDIUC else VQAFeatureDataset
     eval_dset = ds_cls(args.split, dictionary, dataroot=dataroot,
-                       max_boxes=args.max_boxes, question_len=args.question_len)
+                       max_boxes=args.max_boxes, question_len=args.question_len,
+                       features_in_memory=not args.stream_features)
 
     mcfg = model_config_from_args(args, eval_dset)
     model = build_model(mcfg)

@@ -44,17 +44,21 @@ def main(argv=None):
     if args.use_TDIUC:
         train_dset = TDIUCFeatureDataset(
             "train", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
-            question_len=args.question_len, distillation=args.distillation)
+            question_len=args.question_len, distillation=args.distillation,
+            features_in_memory=not args.stream_features)
         val_dset = TDIUCFeatureDataset(
             "val", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
-            question_len=args.question_len)
+            question_len=args.question_len,
+            features_in_memory=not args.stream_features)
     else:
         train_dset = VQAFeatureDataset(
             "train", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
-            question_len=args.question_len, distillation=args.distillation)
+            question_len=args.question_len, distillation=args.distillation,
+            features_in_memory=not args.stream_features)
         val_dset = VQAFeatureDataset(
             "val", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
-            question_len=args.question_len)
+            question_len=args.question_len,
+            features_in_memory=not args.stream_features)
 
     mcfg = model_config_from_args(args, train_dset)
     tcfg = train_config_from_args(args, saving_epoch=9)

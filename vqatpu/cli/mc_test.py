@@ -33,7 +33,8 @@ def main(argv=None):
     eval_dset = V7WDataset(args.split, dictionary, dataroot=args.dataroot,
                            max_boxes=args.max_boxes,
                            question_len=args.question_len,
-                           use_feature=args.use_feature)
+                           use_feature=args.use_feature,
+                           features_in_memory=not args.stream_features)
 
     mcfg = model_config_from_args(args, eval_dset, task="mc")
     model = build_model(mcfg)

@@ -39,11 +39,13 @@ def main(argv=None):
     train_dset = V7WDataset("train", dictionary, dataroot=dataroot,
                             max_boxes=args.max_boxes,
                             question_len=args.question_len,
-                            use_feature=args.use_feature)
+                            use_feature=args.use_feature,
+                            features_in_memory=not args.stream_features)
     val_dset = V7WDataset("val", dictionary, dataroot=dataroot,
                           max_boxes=args.max_boxes,
                           question_len=args.question_len,
-                          use_feature=args.use_feature)
+                          use_feature=args.use_feature,
+                          features_in_memory=not args.stream_features)
 
     mcfg = model_config_from_args(args, train_dset, task="mc")
     tcfg = train_config_from_args(args, saving_epoch=0)  # MC/train.py:29

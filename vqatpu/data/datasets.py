@@ -100,7 +100,8 @@ class _FeatureDatasetBase:
     """Shared plumbing: feature store, target scatter, static samples."""
 
     def __init__(self, dataroot: str, name: str, dictionary: Dictionary,
-                 max_boxes: int, adaptive: bool, fixed36_suffix: bool = True):
+                 max_boxes: int, adaptive: bool, fixed36_suffix: bool = True,
+                 features_in_memory: bool = True):
         self.name = name
         self.dataroot = dataroot
         self.dictionary = dictionary
@@ -112,7 +113,11 @@ class _FeatureDatasetBase:
         h5_path = os.path.join(dataroot, f"{name}{suffix}.hdf5")
         npz_path = os.path.join(dataroot, f"{name}{suffix}.npz")
         if os.path.exists(h5_path):
-            self.store = FeatureStore.from_hdf5(h5_path, adaptive=adaptive)
+            # features_in_memory=False streams per-image slices from the open
+            # HDF5 instead of the reference's whole-file read
+            # (FFOE/dataset.py:282-287) — low-RAM hosts can train.
+            self.store = FeatureStore.from_hdf5(h5_path, adaptive=adaptive,
+                                                in_memory=features_in_memory)
         else:
             self.store = FeatureStore.from_npz(npz_path)
         self.ans2label = _load_pickle(
@@ -148,9 +153,10 @@ class VQAFeatureDataset(_FeatureDatasetBase):
     def __init__(self, name: str, dictionary: Dictionary,
                  dataroot: str = "data_vqa", max_boxes: int = 50,
                  question_len: int = QUESTION_LEN, adaptive: bool = True,
-                 distillation: bool = False):
+                 distillation: bool = False, features_in_memory: bool = True):
         assert name in ("train", "val", "test2015", "test-dev2015")
-        super().__init__(dataroot, name, dictionary, max_boxes, adaptive)
+        super().__init__(dataroot, name, dictionary, max_boxes, adaptive,
+                         features_in_memory=features_in_memory)
         self.teacher_logits: Dict = {}
         if distillation:
             self.teacher_logits = _load_pickle(
@@ -187,9 +193,10 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
     def __init__(self, name: str, dictionary: Dictionary,
                  dataroot: str = "data_TDIUC", max_boxes: int = 50,
                  question_len: int = QUESTION_LEN, adaptive: bool = True,
-                 distillation: bool = False):
+                 distillation: bool = False, features_in_memory: bool = True):
         assert name in ("train", "val")
-        super().__init__(dataroot, name, dictionary, max_boxes, adaptive)
+        super().__init__(dataroot, name, dictionary, max_boxes, adaptive,
+                         features_in_memory=features_in_memory)
         self.teacher_logits: Dict = {}
         if distillation and name == "train":
             self.teacher_logits = _load_pickle(

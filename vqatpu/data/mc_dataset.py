@@ -51,7 +51,8 @@ class V7WDataset:
     def __init__(self, name: str, dictionary: Dictionary,
                  dataroot: str = "data_v7w", max_boxes: int = 50,
                  question_len: int = MC_QUESTION_LEN, adaptive: bool = True,
-                 use_feature: str = "bottom-up"):
+                 use_feature: str = "bottom-up",
+                 features_in_memory: bool = True):
         assert name in ("train", "val", "test")
         self.dictionary = dictionary
         self.max_boxes = max_boxes
@@ -78,11 +79,16 @@ class V7WDataset:
             feat_base = os.path.join(dataroot, f"{name}{suffix}")
         if os.path.exists(feat_base + ".hdf5"):
             self.store = FeatureStore.from_hdf5(feat_base + ".hdf5",
-                                                adaptive=self.adaptive)
+                                                adaptive=self.adaptive,
+                                                in_memory=features_in_memory)
         else:
             self.store = FeatureStore.from_npz(feat_base + ".npz")
         if use_feature == "grid":
-            self.store.spatials = np.zeros_like(self.store.features)
+            # zero spatials by construction (MC/dataset.py:150-158); lazy
+            # stores get a zero *stand-in* rather than a features-sized block
+            self.store.spatials = (
+                np.zeros_like(self.store.features) if self.store.in_memory
+                else ZeroArray(self.store.features.shape))
 
         self.entries = load_v7w_entries(dataroot, name, self.img_id2idx,
                                         self.answer_candidates)

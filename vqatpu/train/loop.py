@@ -42,7 +42,10 @@ def count_params(params) -> int:
 def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
     """Prefer the native C++ prefetch loader when available and the dataset
     exposes a FeatureStore (FFOE/V7W); fall back to the Python loader."""
-    if use_native and hasattr(dataset, "store") and hasattr(dataset, "entries"):
+    if (use_native and hasattr(dataset, "store") and hasattr(dataset, "entries")
+            and getattr(dataset.store, "in_memory", True)):
+        # streaming (out-of-core) stores can't hand raw pointers to the C++
+        # runtime — NativeFeatureStore would slurp the whole HDF5 into RAM
         try:
             from vqatpu.data import native
             if native.available():
