@@ -180,10 +180,41 @@ def test_streaming_store_skips_native_loader(vqa_root):
                            features_in_memory=False)
     cfg = SimpleNamespace(batch_size=8, seed=0)
     loader = _make_loader(ds, cfg, use_native=True)
-    assert type(loader) is BatchLoader
+    from vqatpu.data import PrefetchLoader
+    assert type(loader) is PrefetchLoader  # python fallback, prefetch-wrapped
+    assert type(loader.inner) is BatchLoader
     batch = next(iter(loader))
     assert batch["v"].shape == (8, 15, ds.v_dim)
     ds.store.close()
+
+
+def test_prefetch_loader_order_and_errors(vqa_root):
+    """PrefetchLoader must yield the exact same batch sequence as the bare
+    loader (multi-host lockstep contract) and surface worker exceptions."""
+    from vqatpu.data import PrefetchLoader
+
+    root, d = vqa_root
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15)
+    a = BatchLoader(ds, 8, shuffle=True, seed=7, drop_last=True)
+    b = PrefetchLoader(BatchLoader(ds, 8, shuffle=True, seed=7,
+                                   drop_last=True), depth=2)
+    assert len(a) == len(b) and b.num_samples == a.num_samples
+    for _ in range(2):  # RNG state advances identically across epochs
+        batches_a, batches_b = list(a), list(b)
+        assert len(batches_a) == len(batches_b)
+        for ba, bb in zip(batches_a, batches_b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+    class _Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("worker failed")
+
+    it = iter(PrefetchLoader(_Boom()))
+    next(it)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(it)
 
 
 def test_visualgenome_augmentation(vqa_root):

@@ -1,4 +1,4 @@
-from vqatpu.data.batching import BatchLoader, stack_samples
+from vqatpu.data.batching import BatchLoader, PrefetchLoader, stack_samples
 from vqatpu.data.dictionary import Dictionary
 from vqatpu.data.datasets import (
     ConcatDataset,
@@ -11,6 +11,7 @@ from vqatpu.data.mc_dataset import V7WDataset, expand_mc_batch
 
 __all__ = [
     "BatchLoader", "ConcatDataset", "Dictionary", "FeatureStore",
+    "PrefetchLoader",
     "TDIUCFeatureDataset", "V7WDataset", "VQAFeatureDataset",
     "VisualGenomeFeatureDataset", "expand_mc_batch", "stack_samples",
 ]

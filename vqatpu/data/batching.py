@@ -65,3 +65,68 @@ class BatchLoader:
                 valid = np.concatenate([valid, np.zeros((pad,), bool)])
             batch["valid"] = valid
             yield batch
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around any batch iterable.
+
+    Overlaps host-side batch assembly (python sample stacking; streaming
+    HDF5 reads in ``FeatureStore(in_memory=False)`` mode) with device
+    compute, so an epoch costs ~max(assembly, step) instead of their sum.
+    The TPU-side analogue of the reference's ``num_workers`` DataLoader knob
+    (which it leaves at 0 — ``FFOE/main.py:140-147``).
+
+    Order and values are exactly the inner loader's: the worker just runs
+    the inner iterator one epoch at a time into a bounded queue (``depth``
+    batches ahead), so the multi-host lockstep-ordering contract is
+    untouched.  Every yielded batch is freshly allocated by the inner
+    loader (``stack_samples``/``np.concatenate``), never rewritten — safe
+    to alias into ``jax.device_put`` zero-copy.
+
+    An abandoned epoch iterator leaves its daemon worker parked on the
+    queue; it holds one epoch's iterator until process exit (the train/eval
+    loops always drain full epochs).
+    """
+
+    def __init__(self, inner, depth: int = 2):
+        assert depth >= 1
+        self.inner = inner
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    @property
+    def num_samples(self) -> int:
+        return self.inner.num_samples
+
+    @property
+    def dataset(self):
+        return self.inner.dataset
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        end = object()
+        failure = []
+
+        def _worker():
+            try:
+                for b in self.inner:
+                    q.put(b)
+            except BaseException as e:  # propagate to the consumer
+                failure.append(e)
+            finally:
+                q.put(end)
+
+        threading.Thread(target=_worker, daemon=True,
+                         name="vqatpu-prefetch").start()
+        while True:
+            b = q.get()
+            if b is end:
+                if failure:
+                    raise failure[0]
+                return
+            yield b

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqatpu.config import TrainConfig
-from vqatpu.data.batching import BatchLoader
+from vqatpu.data.batching import BatchLoader, PrefetchLoader
 from vqatpu.data.mc_dataset import expand_mc_batch
 from vqatpu.eval.ffoe import evaluate as evaluate_ffoe
 from vqatpu.eval.mc import evaluate_mc
@@ -54,8 +54,11 @@ def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
                     drop_last=True)
         except Exception:
             pass
-    return BatchLoader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                       drop_last=True)
+    # Python fallback (no native lib, streaming store, or MC expansion):
+    # prefetch one epoch-iterator thread so assembly overlaps device compute.
+    return PrefetchLoader(
+        BatchLoader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                    drop_last=True))
 
 
 def _shard_state_tp(state: TrainState, mesh) -> TrainState:
