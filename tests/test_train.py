@@ -211,6 +211,39 @@ def test_eval_step_bfloat16(rng):
                                atol=5e-2, rtol=5e-2)
 
 
+def test_transfer_dtype_wire_path(rng):
+    """f16 wire tensors (TrainConfig.transfer_dtype — H2D byte halving) are
+    upcast on device: eval logits stay f32 and close to the all-f32 path,
+    and a train step on wire-f16 v/b runs with a finite loss."""
+    from vqatpu.train.loop import _device_batch
+
+    cfg = tiny_cfg(model="ban", use_counter=True)  # counter consumes b
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(
+        rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    wired = _device_batch(host, transfer_dtype="float16")
+    assert wired["v"].dtype == np.float16 and wired["b"].dtype == np.float16
+    assert wired["q"].dtype == host["q"].dtype  # ints untouched
+
+    ev = make_eval_step(m)
+    out32 = ev(state.params, batch)
+    out16 = ev(state.params, {k: jnp.asarray(v) for k, v in wired.items()})
+    assert out16["logits"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16["logits"]),
+                               np.asarray(out32["logits"]),
+                               atol=5e-2, rtol=5e-2)
+
+    tcfg = TrainConfig(update_freq=1, batch_size=2, transfer_dtype="float16")
+    step = make_train_step(m, tcfg)
+    st, metrics = step(state, {k: jnp.asarray(v) for k, v in wired.items()},
+                       jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+
+
 def test_profiler_trace_and_steptimer(tmp_path):
     import jax.numpy as jnp
     from vqatpu.train.profiling import StepTimer, trace

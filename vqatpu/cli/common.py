@@ -101,6 +101,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="Adamax m/u storage dtype (bfloat16 halves the "
                              "optimizer's HBM traffic; f32 = exact torch "
                              "trajectories)")
+    parser.add_argument("--transfer_dtype", type=str, default="float32",
+                        choices=["float32", "float16", "bfloat16"],
+                        help="host->device wire dtype for the big feature "
+                             "tensors v/b (halves H2D bytes on transfer-"
+                             "bound hosts; the step upcasts on device — "
+                             "only input quantization differs from f32)")
     parser.add_argument("--rng_impl", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="dropout-mask PRNG (rbg = TPU hardware RNG, "
@@ -171,6 +177,7 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         alpha=args.alpha,
         compute_dtype=args.compute_dtype,
         optim_state_dtype=getattr(args, "optim_state_dtype", "float32"),
+        transfer_dtype=getattr(args, "transfer_dtype", "float32"),
         skip_nonfinite=getattr(args, "skip_nonfinite", False),
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),

@@ -123,3 +123,10 @@ class TrainConfig:
     # skipped step reports metrics["skipped"]=1.  Default off: exact
     # reference semantics propagate whatever the math produces.
     skip_nonfinite: bool = False
+    # Host->device wire dtype for the big per-batch feature tensors (v, b):
+    # "float16"/"bfloat16" halves the H2D bytes (~100 MB/batch of v at
+    # B=256/V=50/2048-d; the dominant end-to-end term on transfer-bound
+    # hosts — measured for serving in PROFILE.md).  The step upcasts on
+    # device before compute, so only the input quantization differs.
+    # Default f32 = exact reference trajectories.
+    transfer_dtype: str = "float32"

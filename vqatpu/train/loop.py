@@ -31,8 +31,17 @@ from vqatpu.train.steps import TrainState, make_train_state, make_train_step
 _FFOE_KEYS = ("v", "b", "q", "a", "v_mask", "target", "t_logits")
 
 
-def _device_batch(batch: dict, keys=_FFOE_KEYS) -> dict:
-    return {k: batch[k] for k in keys if k in batch}
+def _device_batch(batch: dict, keys=_FFOE_KEYS,
+                  transfer_dtype: str = "float32") -> dict:
+    db = {k: batch[k] for k in keys if k in batch}
+    if transfer_dtype != "float32":
+        # halve the H2D bytes of the big feature tensors on the host side;
+        # the jitted step upcasts on device (steps._upcast_wire)
+        wire = jnp.bfloat16 if transfer_dtype == "bfloat16" else np.float16
+        for k in ("v", "b"):
+            if k in db:
+                db[k] = np.asarray(db[k]).astype(wire)
+    return db
 
 
 def count_params(params) -> int:
@@ -104,7 +113,7 @@ def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
         valid = batch.pop("valid")
         if task == "mc":
             batch = expand_mc_batch(batch)
-        db = _device_batch(batch)
+        db = _device_batch(batch, transfer_dtype=cfg.transfer_dtype)
         db = global_batch_from_local(local_batch_slice(db), mesh)
         out = eval_step(params, db)
         score += float(np.asarray(out["score"]))
@@ -209,7 +218,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             batch.pop("valid", None)
             if task == "mc":
                 batch = expand_mc_batch(batch)
-            db = _device_batch(batch)
+            db = _device_batch(batch, transfer_dtype=cfg.transfer_dtype)
             if multiproc and mesh is not None:
                 # identical seeded loaders on every host -> identical global
                 # batch; each host hands over only its row slice

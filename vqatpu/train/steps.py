@@ -109,6 +109,19 @@ def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False,
     )
 
 
+def _upcast_wire(batch):
+    """Upcast half-precision *wire* feature tensors back to f32 on device.
+
+    ``TrainConfig.transfer_dtype`` lets the host ship v/b as f16/bf16 to
+    halve H2D bytes (the dominant end-to-end term on transfer-bound hosts,
+    PROFILE.md); compute semantics past this point are unchanged — only the
+    input quantization differs from a pure-f32 run."""
+    cast = {k: batch[k].astype(jnp.float32)
+            for k in ("v", "b")
+            if k in batch and batch[k].dtype in (jnp.float16, jnp.bfloat16)}
+    return dict(batch, **cast) if cast else batch
+
+
 def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
                     mc_scoring: bool = False):
     """Build the jitted train step.
@@ -130,6 +143,7 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
         # train=True only gates dropout in these models; cfg.deterministic
         # turns it off for trajectory-parity runs against the torch reference
         ctx = Ctx(train=not cfg.deterministic, rng=rng, mask_bits=cfg.mask_bits)
+        batch = _upcast_wire(batch)
         if half is not None:
             # bf16 activations/params in the forward+backward; f32 master
             # params, loss, and optimizer state stay outside.
@@ -242,6 +256,7 @@ def make_eval_step(model, mc_scoring: bool = False,
 
     @jax.jit
     def eval_step(params, batch):
+        batch = _upcast_wire(batch)
         if half is not None:
             params = cast_floats(params, half)
             batch = dict(batch, v=batch["v"].astype(half))
