@@ -45,7 +45,8 @@ def main(argv=None):
 
     loader = BatchLoader(eval_dset, args.batch_size)
     logits, qids = get_logits(model, params, loader,
-                              compute_dtype=args.compute_dtype)
+                              compute_dtype=args.compute_dtype,
+                              transfer_dtype=args.transfer_dtype)
     if args.debug:
         e = eval_dset.entries[0]
         idx2word = dictionary.idx2word

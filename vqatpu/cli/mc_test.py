@@ -43,7 +43,8 @@ def main(argv=None):
                           load_params_any(args.input, args.epoch, model))
 
     acc, _ = evaluate_mc(model, params, BatchLoader(eval_dset, args.batch_size),
-                         compute_dtype=args.compute_dtype)
+                         compute_dtype=args.compute_dtype,
+                         transfer_dtype=args.transfer_dtype)
     print(f"{args.split} accuracy: {100 * acc:.2f}")
 
 

@@ -16,19 +16,22 @@ from typing import Tuple
 import numpy as np
 
 from vqatpu.data.batching import BatchLoader
-from vqatpu.train.steps import make_eval_step
+from vqatpu.train.steps import make_eval_step, wire_cast
 
 
 def get_logits(model, params, loader: BatchLoader,
-               compute_dtype: str = "float32"
+               compute_dtype: str = "float32",
+               transfer_dtype: str = "float32"
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Sweep the loader; -> (pred [N, num_ans], qids [N])."""
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     preds, qids = [], []
     for batch in loader:
         valid = batch.pop("valid")
-        out = eval_step(params, {k: v for k, v in batch.items()
-                                 if k in ("v", "b", "q", "a", "v_mask", "target")})
+        db = wire_cast({k: v for k, v in batch.items()
+                        if k in ("v", "b", "q", "a", "v_mask", "target")},
+                       transfer_dtype)
+        out = eval_step(params, db)
         logits = np.asarray(out["logits"])[valid]
         preds.append(logits)
         qids.append(batch["qid"][valid])
@@ -62,7 +65,8 @@ def _maybe_shard(db: dict, mesh):
 
 
 def evaluate(model, params, loader: BatchLoader, mesh=None,
-             compute_dtype: str = "float32") -> Tuple[float, float]:
+             compute_dtype: str = "float32",
+             transfer_dtype: str = "float32") -> Tuple[float, float]:
     """Soft-accuracy + upper bound over a val loader
     (``FFOE/train.py:119-149``)."""
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
@@ -71,8 +75,9 @@ def evaluate(model, params, loader: BatchLoader, mesh=None,
     n = 0
     for batch in loader:
         valid = batch.pop("valid")
-        db = {k: v for k, v in batch.items()
-              if k in ("v", "b", "q", "a", "v_mask", "target")}
+        db = wire_cast({k: v for k, v in batch.items()
+                        if k in ("v", "b", "q", "a", "v_mask", "target")},
+                       transfer_dtype)
         out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])
         target = np.asarray(batch["target"])

@@ -45,10 +45,12 @@ def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
 
 
 def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
-                compute_dtype: str = "float32") -> Tuple[float, float]:
+                compute_dtype: str = "float32",
+                transfer_dtype: str = "float32") -> Tuple[float, float]:
     """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
     training (``MC/test.py:89-126``)."""
     from vqatpu.eval.ffoe import _maybe_shard
+    from vqatpu.train.steps import wire_cast
 
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     score = 0.0
@@ -56,7 +58,8 @@ def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
     for batch in loader:
         valid = batch.pop("valid")
         ex = expand_mc_batch(batch)
-        db = {k: ex[k] for k in ("v", "b", "q", "a")}
+        db = wire_cast({k: ex[k] for k in ("v", "b", "q", "a")},
+                       transfer_dtype)
         out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])
         groups = np.repeat(valid, NUM_CANDIDATES)

@@ -26,22 +26,16 @@ from vqatpu.parallel import make_mesh, replicate, shard_batch
 from vqatpu.train.checkpoints import save_checkpoint, save_checkpoint_orbax
 from vqatpu.train.logging import Logger, time_since
 from vqatpu.train.optim import lr_for_epoch
-from vqatpu.train.steps import TrainState, make_train_state, make_train_step
+from vqatpu.train.steps import (TrainState, make_train_state, make_train_step,
+                                wire_cast)
 
 _FFOE_KEYS = ("v", "b", "q", "a", "v_mask", "target", "t_logits")
 
 
 def _device_batch(batch: dict, keys=_FFOE_KEYS,
                   transfer_dtype: str = "float32") -> dict:
-    db = {k: batch[k] for k in keys if k in batch}
-    if transfer_dtype != "float32":
-        # halve the H2D bytes of the big feature tensors on the host side;
-        # the jitted step upcasts on device (steps._upcast_wire)
-        wire = jnp.bfloat16 if transfer_dtype == "bfloat16" else np.float16
-        for k in ("v", "b"):
-            if k in db:
-                db[k] = np.asarray(db[k]).astype(wire)
-    return db
+    return wire_cast({k: batch[k] for k in keys if k in batch},
+                     transfer_dtype)
 
 
 def count_params(params) -> int:
@@ -301,11 +295,13 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 if task == "mc":
                     eval_score, bound = evaluate_mc(
                         model, state.params, eval_loader, mesh=mesh,
-                        compute_dtype=cfg.compute_dtype)
+                        compute_dtype=cfg.compute_dtype,
+                        transfer_dtype=cfg.transfer_dtype)
                 else:
                     eval_score, bound = evaluate_ffoe(
                         model, state.params, eval_loader, mesh=mesh,
-                        compute_dtype=cfg.compute_dtype)
+                        compute_dtype=cfg.compute_dtype,
+                        transfer_dtype=cfg.transfer_dtype)
 
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"

@@ -17,6 +17,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from vqatpu.config import TrainConfig
@@ -107,6 +108,18 @@ def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False,
         accum_count=jnp.zeros([], jnp.int32),
         step=jnp.zeros([], jnp.int32),
     )
+
+
+def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
+    """Host-side half of the wire-dtype contract: cast the big feature
+    tensors (v, b) to a half dtype before device_put, halving H2D bytes on
+    transfer-bound hosts (measured −28% epoch wall on the bench tunnel,
+    PROFILE.md).  The jitted steps upcast on device (``_upcast_wire``)."""
+    if transfer_dtype == "float32":
+        return db
+    wire = jnp.bfloat16 if transfer_dtype == "bfloat16" else np.float16
+    return dict(db, **{k: np.asarray(db[k]).astype(wire)
+                       for k in ("v", "b") if k in db})
 
 
 def _upcast_wire(batch):
