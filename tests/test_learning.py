@@ -101,3 +101,27 @@ def test_cti_overfits_with_bf16_optimizer_state(tmp_path):
     score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8))
     assert bound > 0.5
     assert score > 0.5 * bound, (score, bound)
+
+
+def test_cti_overfits_all_io_knobs_on(tmp_path):
+    """Knob-interaction sweep: streaming feature store (in_memory=False ->
+    PrefetchLoader fallback) + f16 wire tensors + bf16 activations together
+    still learn — the full low-RAM/transfer-bound deployment recipe."""
+    root = str(tmp_path / "data")
+    d = make_vqa_fixture(root, n_train=32, n_val=32, n_images=8, v_dim=16,
+                         seed=5)
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12,
+                                 features_in_memory=False)
+    assert not train_ds.store.in_memory
+
+    cfg = TrainConfig(epochs=18, batch_size=8, update_freq=1, saving_epoch=99,
+                      lr=2e-3, compute_dtype="bfloat16",
+                      transfer_dtype="float16")
+    model = build_model(small_cfg(train_ds, "cti"))
+    state = train(model, train_ds, None, cfg, str(tmp_path / "out"),
+                  use_mesh=False, print_interval=10**9)
+
+    score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8),
+                            transfer_dtype="float16")
+    assert bound > 0.5
+    assert score > 0.5 * bound, (score, bound)
