@@ -27,20 +27,29 @@ class Dictionary:
     def padding_idx(self) -> int:
         return len(self.word2idx)
 
-    def tokenize(self, sentence: str, add_word: bool = False) -> List[int]:
+    def tokenize(self, sentence: str, add_word: bool = False,
+                 strip_period: bool = False) -> List[int]:
+        """The reference ships THREE tokenizers differing in one rule:
+        ``src/dataset.py:46`` (dictionary building, tfidf, answer-embedding
+        tools) and ``MC/dataset.py:49`` also strip ``'.'`` — the FFOE
+        runtime tokenizer (``FFOE/dataset.py:64``) does not.  The replace
+        chain order ('," -> '?' -> 's-split -> '.') is preserved exactly."""
         sentence = sentence.lower()
         sentence = sentence.replace(",", "").replace("?", "").replace("'s", " 's")
+        if strip_period:
+            sentence = sentence.replace(".", "")
         words = sentence.split()
         if add_word:
             return [self.add_word(w) for w in words]
         unk = self.padding_idx - 1
         return [self.word2idx.get(w, unk) for w in words]
 
-    def tokenize_padded(self, sentence: str, max_length: int) -> List[int]:
+    def tokenize_padded(self, sentence: str, max_length: int,
+                        strip_period: bool = False) -> List[int]:
         """Tokenize, truncate, and pad (at the END, matching the reference's
         actual behavior despite its 'pad in front' comment,
         ``FFOE/dataset.py:300-309``)."""
-        tokens = self.tokenize(sentence)[:max_length]
+        tokens = self.tokenize(sentence, strip_period=strip_period)[:max_length]
         tokens = tokens + [self.padding_idx] * (max_length - len(tokens))
         return tokens
 

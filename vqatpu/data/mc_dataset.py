@@ -92,13 +92,17 @@ class V7WDataset:
 
         self.entries = load_v7w_entries(dataroot, name, self.img_id2idx,
                                         self.answer_candidates)
+        # the MC tokenizer also strips '.' (MC/dataset.py:49), unlike FFOE's
         for e in self.entries:
             e["q_token"] = np.asarray(
-                dictionary.tokenize_padded(e["question"], question_len), np.int32)
+                dictionary.tokenize_padded(e["question"], question_len,
+                                           strip_period=True), np.int32)
             e["ans_gt_token"] = np.asarray(
-                dictionary.tokenize_padded(e["ans_gt"], MC_ANS_LEN), np.int32)
+                dictionary.tokenize_padded(e["ans_gt"], MC_ANS_LEN,
+                                           strip_period=True), np.int32)
             e["ans_mc_token"] = np.asarray(
-                [dictionary.tokenize_padded(a, MC_ANS_LEN) for a in e["ans_mc"]],
+                [dictionary.tokenize_padded(a, MC_ANS_LEN, strip_period=True)
+                 for a in e["ans_mc"]],
                 np.int32)
 
     @property

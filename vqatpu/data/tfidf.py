@@ -169,7 +169,8 @@ def tfidf_from_questions(names: Sequence[str], dictionary: Dictionary,
     flat: List[int] = []
     lens: List[int] = []
     for text in _iter_question_texts(names, dataroot, target):
-        toks = dictionary.tokenize(text, add_word=True)
+        # src/dataset.py's tokenizer (the tfidf one) strips '.' (:46)
+        toks = dictionary.tokenize(text, add_word=True, strip_period=True)
         flat.extend(toks)
         lens.append(len(toks))
     tfidf = _build_row_stochastic(

@@ -31,7 +31,8 @@ def create_dictionary(dataroot: str, files=VQA_QUESTION_FILES) -> Dictionary:
             continue
         with open(full) as f:
             for q in json.load(f)["questions"]:
-                d.tokenize(q["question"], add_word=True)
+                # the dictionary builder strips '.' (src/dataset.py:46)
+                d.tokenize(q["question"], add_word=True, strip_period=True)
     return d
 
 

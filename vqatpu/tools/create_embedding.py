@@ -74,8 +74,10 @@ def create_answer_embedding(dataroot: str, num_hid: int = 1024,
     p_w = w_emb.load_pretrained(p_w, glove)
     p_g = ans_emb.init(k2)
 
+    # create_answer_embedding.py uses src/dataset.py's tokenizer ('.'-strip)
     tokens = np.asarray(
-        [dictionary.tokenize_padded(a, 3) for a in ans_list], np.int32)
+        [dictionary.tokenize_padded(a, 3, strip_period=True)
+         for a in ans_list], np.int32)
     emb = w_emb.apply(p_w, jnp.asarray(tokens))
     enc = ans_emb.apply_last(p_g, emb)  # [num_ans, num_hid]
 
