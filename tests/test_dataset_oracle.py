@@ -1,0 +1,80 @@
+"""Live-oracle parity for the FFOE VQA dataset layer.
+
+Constructs the reference's own ``src/FFOE/dataset.py:VQAFeatureDataset`` on
+the same synthetic fixture vqatpu's datasets use (the fixture reproduces the
+reference's on-disk layout exactly) and compares, per sample: entry order,
+question/answer token ids, the adaptive pos_boxes feature slice, the
+scattered soft-target vector, and teacher logits.
+
+Deliberately NOT reproduced (documented in datasets.py:6-13) and therefore
+invisible here by construction: the ``questions[:10000]`` debug truncation
+(fixture < 10k) and the broken test2015 ``_create_entry`` call (train split
+only).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from vqatpu.data import Dictionary, VQAFeatureDataset
+from vqatpu.data.synthetic import make_vqa_fixture
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_ffoe_dataset():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "torch._six" not in sys.modules:  # torch-1.1 era shim (utils.py:18)
+        six = types.ModuleType("torch._six")
+        six.string_classes = (str, bytes)
+        six.int_classes = (int,)
+        six.inf = float("inf")
+        sys.modules["torch._six"] = six
+    import src.FFOE.dataset as ffoe_dataset
+    return ffoe_dataset
+
+
+def test_vqa_dataset_matches_reference(ref_ffoe_dataset, tmp_path):
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=48, n_val=16, n_images=10, v_dim=16,
+                     with_teacher_logits=True)
+
+    d_got = Dictionary.load_from_file(f"{root}/dictionary.pkl")
+    got = VQAFeatureDataset("train", d_got, dataroot=root, max_boxes=12,
+                            distillation=True)
+
+    d_ref = ref_ffoe_dataset.Dictionary.load_from_file(
+        f"{root}/dictionary.pkl")
+    args = types.SimpleNamespace(distillation=True)
+    ref = ref_ffoe_dataset.VQAFeatureDataset(
+        "train", args, d_ref, dataroot=root, max_boxes=12, question_len=12,
+        adaptive=True)
+
+    assert len(got) == len(ref)
+    assert got.num_ans_candidates == ref.num_ans_candidates
+    assert got.v_dim == ref.v_dim and got.s_dim == ref.s_dim
+
+    for i in range(len(got)):
+        s = got.sample(i)
+        (r_feats, r_spats, r_q, r_target, r_ans, r_qid,
+         r_tlogit) = ref[i]
+        assert int(s["qid"]) == int(r_qid)
+
+        # reference returns the raw [n, dim] slice; vqatpu pads to
+        # max_boxes with an explicit mask (the static-shape TPU decision)
+        n = r_feats.shape[0]
+        assert int(s["v_mask"].sum()) == n
+        np.testing.assert_array_equal(s["v"][:n], r_feats.numpy())
+        np.testing.assert_array_equal(s["b"][:n], r_spats.numpy())
+        assert not s["v"][n:].any() and not s["b"][n:].any()
+
+        np.testing.assert_array_equal(s["q"], r_q.numpy())
+        np.testing.assert_array_equal(s["a"], r_ans.numpy())
+        np.testing.assert_allclose(s["target"], r_target.numpy(), atol=1e-7)
+        np.testing.assert_allclose(s["t_logits"],
+                                   np.float32(np.asarray(r_tlogit)),
+                                   atol=1e-7)
