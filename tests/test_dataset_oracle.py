@@ -78,3 +78,42 @@ def test_vqa_dataset_matches_reference(ref_ffoe_dataset, tmp_path):
         np.testing.assert_allclose(s["t_logits"],
                                    np.float32(np.asarray(r_tlogit)),
                                    atol=1e-7)
+
+
+def test_v7w_dataset_matches_reference(ref_ffoe_dataset, tmp_path):
+    """Same treatment for the MC layer: the reference's V7WDataset
+    (``src/MC/dataset.py:128-268``) vs vqatpu on the shared fixture —
+    entry order, MC candidate/gt tokens ('.'-stripping MC tokenizer),
+    labels, and adaptive feature slices."""
+    import src.MC.dataset as mc_dataset
+
+    from vqatpu.data import V7WDataset
+    from vqatpu.data.synthetic import make_v7w_fixture
+
+    root = str(tmp_path / "data_v7w")
+    make_v7w_fixture(root)
+
+    d_got = Dictionary.load_from_file(f"{root}/dictionary.pkl")
+    got = V7WDataset("train", d_got, dataroot=root, max_boxes=12,
+                     question_len=12)
+
+    d_ref = mc_dataset.Dictionary.load_from_file(f"{root}/dictionary.pkl")
+    args = types.SimpleNamespace(use_feature="bottom-up")
+    ref = mc_dataset.V7WDataset("train", args, d_ref, dataroot=root,
+                                max_boxes=12, question_len=12, adaptive=True)
+
+    assert len(got) == len(ref)
+    assert got.v_dim == ref.v_dim and got.s_dim == ref.s_dim
+    for i in range(len(got)):
+        s = got.sample(i)
+        r_feats, r_spats, r_q, r_label, r_mc, r_gt = ref[i]
+        assert int(s["qid"]) == int(ref.entries[i]["question_id"])
+        n = r_feats.shape[0]
+        assert int(s["v_mask"].sum()) == n
+        np.testing.assert_array_equal(s["v"][:n], r_feats.numpy())
+        np.testing.assert_array_equal(s["b"][:n], r_spats.numpy())
+        assert not s["v"][n:].any()
+        np.testing.assert_array_equal(s["q"], r_q.numpy())
+        np.testing.assert_array_equal(s["ans_mc"], np.asarray(r_mc))
+        np.testing.assert_array_equal(s["ans_gt"], np.asarray(r_gt))
+        np.testing.assert_allclose(s["label"], np.asarray(r_label, np.float32))
