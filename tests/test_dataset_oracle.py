@@ -117,3 +117,32 @@ def test_v7w_dataset_matches_reference(ref_ffoe_dataset, tmp_path):
         np.testing.assert_array_equal(s["ans_mc"], np.asarray(r_mc))
         np.testing.assert_array_equal(s["ans_gt"], np.asarray(r_gt))
         np.testing.assert_allclose(s["label"], np.asarray(r_label, np.float32))
+
+
+def test_tdiuc_reference_broken_as_committed(ref_ffoe_dataset, tmp_path):
+    """As-committed reference bug (discovered by this oracle, r3): the
+    TDIUC loader passes 4 of 5 args to ``_create_entry``
+    (``FFOE/dataset.py:183`` vs the 5-param signature at ``:97``) — EVERY
+    reference TDIUC run crashes at dataset construction, so the published
+    87.0 TDIUC accuracy cannot come from this code state.  vqatpu builds
+    complete TDIUC entries on the same fixture (documented divergence,
+    ``vqatpu/data/datasets.py:7-13``)."""
+    from vqatpu.data import TDIUCFeatureDataset
+    from vqatpu.data.synthetic import make_tdiuc_fixture
+
+    root = str(tmp_path / "data_TDIUC")
+    make_tdiuc_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+
+    d_ref = ref_ffoe_dataset.Dictionary.load_from_file(
+        f"{root}/dictionary.pkl")
+    args = types.SimpleNamespace(distillation=False)
+    with pytest.raises(TypeError, match="teacher_logit"):
+        ref_ffoe_dataset.TDIUCFeatureDataset(
+            "train", args, d_ref, dataroot=root, max_boxes=12,
+            question_len=12, adaptive=True)
+
+    d_got = Dictionary.load_from_file(f"{root}/dictionary.pkl")
+    got = TDIUCFeatureDataset("train", d_got, dataroot=root, max_boxes=12)
+    assert len(got) == 16
+    s = got.sample(0)
+    assert s["v"].shape == (12, got.v_dim) and s["target"].sum() > 0

@@ -7,6 +7,9 @@ so preprocessed reference data drops in unchanged.
 Deliberate divergences from reference bugs (SURVEY.md §7 "do NOT reproduce"):
 - no ``questions[:10000]`` train/val truncation (``dataset.py:131-132``);
 - the test2015 path builds complete entries (``:152`` passed 4 of 5 args);
+- the TDIUC loader builds complete entries too (``:183`` also passes 4 of
+  5 args to ``_create_entry`` — every reference TDIUC run crashes at
+  dataset construction; pinned live in tests/test_dataset_oracle.py);
 - ``name == 'train'`` instead of the ``is`` identity compare (``:390``).
 
 Samples are plain numpy dicts with *static* shapes (boxes padded to
