@@ -146,3 +146,36 @@ def test_tdiuc_reference_broken_as_committed(ref_ffoe_dataset, tmp_path):
     assert len(got) == 16
     s = got.sample(0)
     assert s["v"].shape == (12, got.v_dim) and s["target"].sum() > 0
+
+
+def test_visualgenome_entries_match_reference(ref_ffoe_dataset, tmp_path):
+    """VG augmentation entry building vs the reference's
+    ``_load_visualgenome`` (``FFOE/dataset.py:189-249``): COCO-id mapping,
+    answer normalization, vocab filtering, score-1.0 targets.  Two
+    identical fixture copies so each side writes its own
+    ``cache/vg_*_target.pkl`` (no cross-reading)."""
+    import pickle
+
+    from vqatpu.data.datasets import build_visualgenome_entries
+    from vqatpu.data.synthetic import add_visualgenome_fixture
+
+    roots = {}
+    for sub in ("ref", "got"):
+        root = str(tmp_path / sub / "data_vqa")
+        make_vqa_fixture(root, n_train=48, n_val=16, n_images=10, v_dim=16)
+        add_visualgenome_fixture(root)
+        roots[sub] = root
+
+    with open(f"{roots['ref']}/train_imgid2idx.pkl", "rb") as f:
+        img_id2idx = pickle.load(f)
+    with open(f"{roots['ref']}/cache/trainval_label2ans.pkl", "rb") as f:
+        label2ans = pickle.load(f)
+    with open(f"{roots['got']}/cache/trainval_ans2label.pkl", "rb") as f:
+        ans2label = pickle.load(f)
+
+    want = ref_ffoe_dataset._load_visualgenome(
+        roots["ref"], "train", img_id2idx, label2ans, adaptive=True)
+    got = build_visualgenome_entries(roots["got"], "train", img_id2idx,
+                                     ans2label, adaptive=True)
+    assert len(got) == len(want) > 0
+    assert got == want
