@@ -179,3 +179,37 @@ def test_visualgenome_entries_match_reference(ref_ffoe_dataset, tmp_path):
                                      ans2label, adaptive=True)
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_create_dictionary_matches_reference(ref_ffoe_dataset, tmp_path):
+    """Vocabulary building vs the reference's ``tools/create_dictionary.py``
+    (same four VQA question files, same extension order, '.'-strip
+    tokenizer).  The reference tool resolves ``from dataset import
+    Dictionary`` only with ``src/`` itself on sys.path."""
+    import importlib.util
+    import json
+
+    from vqatpu.tools.create_dictionary import create_dictionary
+
+    if f"{REF}/src" not in sys.path:
+        sys.path.insert(0, f"{REF}/src")
+    spec = importlib.util.spec_from_file_location(
+        "ref_create_dictionary", f"{REF}/tools/create_dictionary.py")
+    ref_tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_tool)
+
+    rng = np.random.RandomState(9)
+    words = ["what", "color", "is", "the", "cat", "dog", "u.s.", "dr.",
+             "it's", "3.5", "a", "an"]
+    root = str(tmp_path)
+    for name in ("train2014", "val2014", "test2015", "test-dev2015"):
+        qs = [{"question": " ".join(rng.choice(words, size=5)) + "?"}
+              for _ in range(12)]
+        with open(f"{root}/v2_OpenEnded_mscoco_{name}_questions.json",
+                  "w") as f:
+            json.dump({"questions": qs}, f)
+
+    want = ref_tool.create_dictionary(root)
+    got = create_dictionary(root)
+    assert got.idx2word == want.idx2word
+    assert got.word2idx == want.word2idx
