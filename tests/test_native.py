@@ -128,3 +128,25 @@ def test_train_loop_through_native_loader(dataset, tmp_path):
     train(model, dataset, None, tcfg, out_p, print_interval=10 ** 6,
           use_native_loader=False)
     assert lines(out_n) == lines(out_p)
+
+
+def test_make_eval_loader_native_sweep_matches_python(dataset):
+    """The eval surfaces route through make_eval_loader (native when
+    available): a full no-shuffle sweep incl. the zero-padded partial final
+    batch must be byte-identical to the Python BatchLoader's."""
+    from vqatpu.data import make_eval_loader
+
+    got = make_eval_loader(dataset, batch_size=16)
+    assert type(got) is native.NativeBatchLoader
+    want = BatchLoader(dataset, batch_size=16)
+    try:
+        gb, wb = list(got), list(want)
+        assert len(gb) == len(wb) == 3  # 40 rows -> 16/16/8(+pad)
+        for g, w in zip(gb, wb):
+            assert set(g) == set(w)
+            for k in w:
+                np.testing.assert_array_equal(g[k], w[k], err_msg=k)
+        assert int(gb[-1]["valid"].sum()) == 8
+        assert not gb[-1]["v"][8:].any()  # padded tail rows are zero
+    finally:
+        got.close()

@@ -9,7 +9,7 @@ import os
 import jax
 
 from vqatpu.cli.common import add_common_args, model_config_from_args
-from vqatpu.data import BatchLoader, Dictionary, TDIUCFeatureDataset, VQAFeatureDataset
+from vqatpu.data import Dictionary, TDIUCFeatureDataset, VQAFeatureDataset, make_eval_loader
 from vqatpu.eval import export_results, get_logits
 from vqatpu.models import build_model
 from vqatpu.train.checkpoints import load_params_any
@@ -43,7 +43,8 @@ def main(argv=None):
     params = jax.tree.map(jax.numpy.asarray,
                           load_params_any(args.input, args.epoch, model))
 
-    loader = BatchLoader(eval_dset, args.batch_size)
+    loader = make_eval_loader(eval_dset, args.batch_size,
+                              use_native=args.native_loader)
     logits, qids = get_logits(model, params, loader,
                               compute_dtype=args.compute_dtype,
                               transfer_dtype=args.transfer_dtype)

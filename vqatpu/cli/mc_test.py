@@ -9,7 +9,7 @@ import os
 import jax
 
 from vqatpu.cli.common import add_common_args, model_config_from_args
-from vqatpu.data import BatchLoader, Dictionary, V7WDataset
+from vqatpu.data import Dictionary, V7WDataset, make_eval_loader
 from vqatpu.eval import evaluate_mc
 from vqatpu.models import build_model
 from vqatpu.train.checkpoints import load_params_any
@@ -42,7 +42,9 @@ def main(argv=None):
     params = jax.tree.map(jax.numpy.asarray,
                           load_params_any(args.input, args.epoch, model))
 
-    acc, _ = evaluate_mc(model, params, BatchLoader(eval_dset, args.batch_size),
+    acc, _ = evaluate_mc(model, params,
+                         make_eval_loader(eval_dset, args.batch_size,
+                                          use_native=args.native_loader),
                          compute_dtype=args.compute_dtype,
                          transfer_dtype=args.transfer_dtype)
     print(f"{args.split} accuracy: {100 * acc:.2f}")

@@ -1,4 +1,5 @@
-from vqatpu.data.batching import BatchLoader, PrefetchLoader, stack_samples
+from vqatpu.data.batching import (BatchLoader, PrefetchLoader,
+                                  make_eval_loader, stack_samples)
 from vqatpu.data.dictionary import Dictionary
 from vqatpu.data.datasets import (
     ConcatDataset,

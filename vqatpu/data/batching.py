@@ -130,3 +130,26 @@ class PrefetchLoader:
                     raise failure[0]
                 return
             yield b
+
+
+def make_eval_loader(dataset, batch_size: int, use_native: bool = True):
+    """Sequential-sweep loader for eval/inference: no shuffle, padded final
+    batch with a ``valid`` row mask.
+
+    Prefers the native C++ assembly loader (same ~5x host-side win as
+    training, PROFILE.md: 15.7 vs 65-85 ms/batch at B=256) when the library
+    builds, the dataset exposes a resident FeatureStore, and falls back to
+    the prefetch-wrapped Python ``BatchLoader`` otherwise.  Either loader
+    yields byte-identical batches (tests/test_native.py)."""
+    if (use_native and hasattr(dataset, "store")
+            and hasattr(dataset, "entries")
+            and getattr(dataset.store, "in_memory", True)):
+        try:
+            from vqatpu.data import native
+            if native.available():
+                return native.NativeBatchLoader(dataset, batch_size,
+                                                shuffle=False,
+                                                drop_last=False)
+        except Exception:
+            pass
+    return PrefetchLoader(BatchLoader(dataset, batch_size))

@@ -256,6 +256,8 @@ class NativeBatchLoader:
         self._held_slot = slot
         rows = int(rows_out[0])
         out_v, out_b, out_m, out_idx = self._slots[slot]
+        # partial FINAL batches arrive with zeroed tails (vqadata.cc:137-146)
+        # — identical to BatchLoader.pad_final, so eval sweeps are exact
         batch = {"v": out_v, "b": out_b, "v_mask": out_m.astype(bool)}
         valid = np.zeros((bs,), bool)
         valid[:rows] = True

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqatpu.config import TrainConfig
-from vqatpu.data.batching import BatchLoader, PrefetchLoader
+from vqatpu.data.batching import (BatchLoader, PrefetchLoader,
+                                  make_eval_loader)
 from vqatpu.data.mc_dataset import expand_mc_batch
 from vqatpu.eval.ffoe import evaluate as evaluate_ffoe
 from vqatpu.eval.mc import evaluate_mc
@@ -100,7 +101,7 @@ def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
 
     eval_step = make_eval_step(model, mc_scoring=(task == "mc"),
                                compute_dtype=cfg.compute_dtype)
-    loader = BatchLoader(eval_ds, cfg.batch_size * 2)
+    loader = make_eval_loader(eval_ds, cfg.batch_size * 2)
     score = upper = 0.0
     n = 0
     for batch in loader:
@@ -291,7 +292,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                     model, state.params, eval_ds, cfg, task, mesh)
             else:
                 # reference evaluates with a 2x batch (FFOE/main.py:146)
-                eval_loader = BatchLoader(eval_ds, cfg.batch_size * 2)
+                eval_loader = make_eval_loader(eval_ds, cfg.batch_size * 2,
+                                               use_native=use_native_loader)
                 if task == "mc":
                     eval_score, bound = evaluate_mc(
                         model, state.params, eval_loader, mesh=mesh,
