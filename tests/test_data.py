@@ -166,6 +166,11 @@ def test_zero_array_standin():
     assert z[1:3].shape == (2, 3, 5) and not z[1:3].any()
     with pytest.raises(TypeError):
         z[[0, 1]]
+    # np.asarray path (FeatureStore.materialize, native registration):
+    # a real zeros block, not a 0-d object scalar (r3 code-review finding)
+    dense = np.asarray(z)
+    assert dense.shape == (4, 3, 5) and dense.dtype == np.float32
+    assert not dense.any()
 
 
 def test_streaming_store_skips_native_loader(vqa_root):
@@ -412,3 +417,20 @@ def test_tfidf_large_vocab_key_dtype():
     np.testing.assert_allclose(sum(rows[5].values()), 1.0, rtol=1e-9)
     np.testing.assert_allclose(sum(rows[49_999].values()), 1.0, rtol=1e-9)
     assert 49_999 in rows[5] and 5 in rows[5]  # self-pair from duplicate
+
+
+def test_sample_fields_matches_sample(vqa_root):
+    """sample_fields (the native loader's store-free precompute path) must
+    equal sample() minus the feature slabs, for both FFOE and MC datasets."""
+    from vqatpu.data.synthetic import make_v7w_fixture
+
+    root, d = vqa_root
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                           distillation=True)
+    for i in (0, 7):
+        want = {k: v for k, v in ds.sample(i).items()
+                if k not in ("v", "b", "v_mask")}
+        got = ds.sample_fields(i)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)

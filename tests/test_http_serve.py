@@ -134,3 +134,16 @@ def test_build_session_from_checkpoint_cli_path(tmp_path, rng):
     assert fast.compute_dtype == "bfloat16"
     fast_answers = fast.answer(v, None, q, a)
     assert len(fast_answers) == 2
+
+
+def test_serve_cli_parser_constructs():
+    """Regression: serve.py once re-registered --transfer_dtype on top of
+    add_common_args's copy -> argparse.ArgumentError on EVERY invocation
+    (r3 code-review finding).  --help must reach argparse's normal exit."""
+    import pytest
+
+    from vqatpu.cli import serve
+
+    with pytest.raises(SystemExit) as e:
+        serve.main(["--help"])
+    assert e.value.code == 0

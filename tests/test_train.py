@@ -243,6 +243,11 @@ def test_transfer_dtype_wire_path(rng):
                        jnp.float32(1e-3), jax.random.PRNGKey(1))
     assert np.isfinite(float(np.asarray(metrics["loss"])))
 
+    # unknown wire strings fail loudly instead of silently quantizing
+    from vqatpu.train.steps import wire_cast
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        wire_cast(host, "fp32")
+
 
 def test_profiler_trace_and_steptimer(tmp_path):
     import jax.numpy as jnp

@@ -51,7 +51,10 @@ def build_session(args):
     # bottleneck on PCIe-constrained hosts); --compute_dtype bfloat16 runs
     # the forward in bf16 (the BAN throughput knob) — both measured in
     # PROFILE.md r3, both default off for bit-exact logits.
-    wire = {"float32": None, "float16": np.float16}[
+    import jax.numpy as jnp
+
+    wire = {"float32": None, "float16": np.float16,
+            "bfloat16": jnp.bfloat16}[
         getattr(args, "transfer_dtype", "float32")]
     return InferenceSession.from_checkpoint(
         ckpt, cfg, label2ans, max_boxes=args.max_boxes, transfer_dtype=wire,
@@ -131,10 +134,7 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8399)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--v_dim", type=int, default=2048)
-    parser.add_argument("--transfer_dtype", type=str, default="float32",
-                        choices=["float32", "float16"],
-                        help="host->device feature wire format (float16 "
-                             "halves transfer bytes; see PROFILE.md)")
+    # --transfer_dtype comes from add_common_args (shared with train/test)
     args = parser.parse_args(argv)
 
     session, dictionary = build_session(args)

@@ -12,7 +12,7 @@ from vqatpu.data.mc_dataset import V7WDataset, expand_mc_batch
 
 __all__ = [
     "BatchLoader", "ConcatDataset", "Dictionary", "FeatureStore",
-    "PrefetchLoader",
+    "PrefetchLoader", "make_eval_loader",
     "TDIUCFeatureDataset", "V7WDataset", "VQAFeatureDataset",
     "VisualGenomeFeatureDataset", "expand_mc_batch", "stack_samples",
 ]

@@ -172,13 +172,11 @@ class VQAFeatureDataset(_FeatureDatasetBase):
             e["ans_token"] = np.asarray(
                 dictionary.tokenize_padded(e["ans"], ANS_LEN), np.int32)
 
-    def sample(self, index: int) -> dict:
+    def sample_fields(self, index: int) -> dict:
+        """Everything except the feature slabs (v/b/v_mask) — the native
+        loader precomputes these per row without touching the store."""
         e = self.entries[index]
-        feats, spats, mask = self.store.get(e["image"], self.max_boxes)
         out = {
-            "v": feats,
-            "b": spats,
-            "v_mask": mask,
             "q": e["q_token"],
             "a": e["ans_token"],
             "target": self._target(e["answer"]),
@@ -186,6 +184,13 @@ class VQAFeatureDataset(_FeatureDatasetBase):
         }
         if self.teacher_logits:
             out["t_logits"] = np.asarray(e["teacher_logit"], np.float32)
+        return out
+
+    def sample(self, index: int) -> dict:
+        out = self.sample_fields(index)
+        feats, spats, mask = self.store.get(self.entries[index]["image"],
+                                            self.max_boxes)
+        out.update(v=feats, b=spats, v_mask=mask)
         return out
 
 
@@ -212,13 +217,9 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
                 dictionary.tokenize_padded(e["question"], question_len), np.int32)
             e["ans_token"] = np.asarray(pad, np.int32)
 
-    def sample(self, index: int) -> dict:
+    def sample_fields(self, index: int) -> dict:
         e = self.entries[index]
-        feats, spats, mask = self.store.get(e["image"], self.max_boxes)
         out = {
-            "v": feats,
-            "b": spats,
-            "v_mask": mask,
             "q": e["q_token"],
             "a": e["ans_token"],
             "target": self._target(e["answer"]),
@@ -226,6 +227,13 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
         }
         if self.teacher_logits:
             out["t_logits"] = np.asarray(e["teacher_logit"], np.float32)
+        return out
+
+    def sample(self, index: int) -> dict:
+        out = self.sample_fields(index)
+        feats, spats, mask = self.store.get(self.entries[index]["image"],
+                                            self.max_boxes)
+        out.update(v=feats, b=spats, v_mask=mask)
         return out
 
 
@@ -317,18 +325,21 @@ class VisualGenomeFeatureDataset:
             target[labels] = scores
         return target
 
-    def sample(self, index: int) -> dict:
+    def sample_fields(self, index: int) -> dict:
         e = self.entries[index]
-        feats, spats, mask = self.store.get(e["image"], self.max_boxes)
         return {
-            "v": feats,
-            "b": spats,
-            "v_mask": mask,
             "q": e["q_token"],
             "a": np.full((ANS_LEN,), self.dictionary.padding_idx, np.int32),
             "target": self._target(e["answer"]),
             "qid": np.int64(e["question_id"]),
         }
+
+    def sample(self, index: int) -> dict:
+        out = self.sample_fields(index)
+        feats, spats, mask = self.store.get(self.entries[index]["image"],
+                                            self.max_boxes)
+        out.update(v=feats, b=spats, v_mask=mask)
+        return out
 
     def __len__(self) -> int:
         return len(self.entries)

@@ -52,6 +52,11 @@ class ZeroArray:
             return np.zeros((n,) + self.shape[1:], np.float32)
         raise TypeError(f"ZeroArray supports int/slice indexing, got {idx!r}")
 
+    def __array__(self, dtype=None, copy=None):
+        # np.asarray(store.spatials) — e.g. FeatureStore.materialize() or
+        # NativeFeatureStore registration — gets a real zeros block
+        return np.zeros(self.shape, dtype or self.dtype)
+
 
 class FeatureStore:
     def __init__(self, features, spatials,

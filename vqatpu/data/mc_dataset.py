@@ -113,19 +113,22 @@ class V7WDataset:
     def s_dim(self) -> int:
         return self.store.s_dim
 
-    def sample(self, index: int) -> dict:
+    def sample_fields(self, index: int) -> dict:
         e = self.entries[index]
-        feats, spats, mask = self.store.get(e["image"], self.max_boxes)
         return {
-            "v": feats,
-            "b": spats,
-            "v_mask": mask,
             "q": e["q_token"],
             "label": np.asarray(e["label"], np.float32),  # [4] 0/1 per candidate
             "ans_mc": e["ans_mc_token"],  # [4, MC_ANS_LEN]
             "ans_gt": e["ans_gt_token"],
             "qid": np.int64(e["question_id"]),
         }
+
+    def sample(self, index: int) -> dict:
+        out = self.sample_fields(index)
+        feats, spats, mask = self.store.get(self.entries[index]["image"],
+                                            self.max_boxes)
+        out.update(v=feats, b=spats, v_mask=mask)
+        return out
 
     def __len__(self) -> int:
         return len(self.entries)

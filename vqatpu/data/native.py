@@ -163,14 +163,17 @@ class NativeBatchLoader:
         n = len(dataset)
         self._row_to_image = np.asarray(
             [dataset.entries[i]["image"] for i in range(n)], np.int64)
-        # precompute small fields once (dense, cheap)
-        sample0 = dataset.sample(0)
-        self._fields: Dict[str, np.ndarray] = {}
-        for key in sample0:
-            if key in ("v", "b", "v_mask"):
-                continue
-            self._fields[key] = np.stack(
-                [dataset.sample(i)[key] for i in range(n)], 0)
+        # precompute small fields once (dense, cheap) — via sample_fields
+        # when the dataset offers it, so construction never runs the full
+        # store.get gather+pad pass it exists to replace
+        fields_fn = getattr(dataset, "sample_fields", None)
+        if fields_fn is None:
+            def fields_fn(i):
+                return {k: v for k, v in dataset.sample(i).items()
+                        if k not in ("v", "b", "v_mask")}
+        rows = [fields_fn(i) for i in range(n)]
+        self._fields: Dict[str, np.ndarray] = {
+            key: np.stack([r[key] for r in rows], 0) for key in rows[0]}
 
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,

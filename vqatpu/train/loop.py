@@ -89,7 +89,7 @@ class _NullLogger:
         pass
 
 
-def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
+def _evaluate_multiproc(model, params, loader, cfg: TrainConfig, task: str,
                         mesh):
     """Epoch eval in the multi-process regime: every host runs the same
     seeded loader over the FULL val set, contributes its row slice of each
@@ -101,7 +101,6 @@ def _evaluate_multiproc(model, params, eval_ds, cfg: TrainConfig, task: str,
 
     eval_step = make_eval_step(model, mc_scoring=(task == "mc"),
                                compute_dtype=cfg.compute_dtype)
-    loader = make_eval_loader(eval_ds, cfg.batch_size * 2)
     score = upper = 0.0
     n = 0
     for batch in loader:
@@ -184,6 +183,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
     step_fn = make_train_step(model, cfg, tfidf_loaded,
                               mc_scoring=(task == "mc"))
     loader = _make_loader(train_ds, cfg, use_native_loader)
+    eval_loader = None  # built lazily on the first eval epoch, then reused
     rng = jax.random.PRNGKey(cfg.seed)
 
     best_eval = 0.0
@@ -287,13 +287,16 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
         eval_score, bound = 0.0, 0.0
         if eval_ds is not None:
-            if multiproc and mesh is not None:
-                eval_score, bound = _evaluate_multiproc(
-                    model, state.params, eval_ds, cfg, task, mesh)
-            else:
-                # reference evaluates with a 2x batch (FFOE/main.py:146)
+            # reference evaluates with a 2x batch (FFOE/main.py:146); loader
+            # built ONCE — NativeBatchLoader construction does a
+            # field-precompute pass + ring allocation worth reusing
+            if eval_loader is None:
                 eval_loader = make_eval_loader(eval_ds, cfg.batch_size * 2,
                                                use_native=use_native_loader)
+            if multiproc and mesh is not None:
+                eval_score, bound = _evaluate_multiproc(
+                    model, state.params, eval_loader, cfg, task, mesh)
+            else:
                 if task == "mc":
                     eval_score, bound = evaluate_mc(
                         model, state.params, eval_loader, mesh=mesh,

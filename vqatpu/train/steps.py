@@ -117,7 +117,11 @@ def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
     PROFILE.md).  The jitted steps upcast on device (``_upcast_wire``)."""
     if transfer_dtype == "float32":
         return db
-    wire = jnp.bfloat16 if transfer_dtype == "bfloat16" else np.float16
+    wires = {"float16": np.float16, "bfloat16": jnp.bfloat16}
+    if transfer_dtype not in wires:
+        raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}; "
+                         f"expected float32, float16, or bfloat16")
+    wire = wires[transfer_dtype]
     return dict(db, **{k: np.asarray(db[k]).astype(wire)
                        for k in ("v", "b") if k in db})
 
