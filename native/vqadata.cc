@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -282,6 +283,45 @@ int64_t vqadata_loader_next(void* handle, int64_t release_slot,
   l->ready.pop_front();
   *out_rows = l->slots[slot_id].rows;
   return slot_id;
+}
+
+// Per-row symmetric int8 quantization for the transfer_dtype="int8" wire
+// (the Python steps.quantize_v contract): scale = absmax(row)/127 (1.0 for
+// all-zero rows), q = rint(v/scale).  One pass per row — each 2048-float
+// row stays in L1, so this runs at read bandwidth where the numpy
+// expression pays 3-4 full-array passes (abs temp, divide temp, rint,
+// astype).  `rows` = product of the leading dims, `d` = the minor dim.
+void vqadata_quantize_rows(const float* v, int64_t rows, int64_t d,
+                           int8_t* q, float* scale, int64_t num_threads) {
+  auto quant_range = [=](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const float* row = v + r * d;
+      float amax = 0.0f;
+      for (int64_t i = 0; i < d; ++i) {
+        const float a = std::fabs(row[i]);
+        if (a > amax) amax = a;
+      }
+      const float s = amax > 0.0f ? amax / 127.0f : 1.0f;
+      scale[r] = s;
+      const float inv = 1.0f / s;
+      int8_t* out = q + r * d;
+      for (int64_t i = 0; i < d; ++i) {
+        out[i] = static_cast<int8_t>(std::lrintf(row[i] * inv));
+      }
+    }
+  };
+  if (num_threads <= 1 || rows < 64) {
+    quant_range(0, rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (rows + num_threads - 1) / num_threads;
+  for (int64_t t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    if (lo >= rows) break;
+    threads.emplace_back(quant_range, lo, std::min(rows, lo + chunk));
+  }
+  for (auto& th : threads) th.join();
 }
 
 void vqadata_loader_destroy(void* handle) {

@@ -1,4 +1,5 @@
-"""Interleaved A/B: train-loop H2D wire dtype f32 vs f16 (transfer_dtype).
+"""Interleaved A/B: train-loop H2D wire dtype f32 vs f16 vs int8
+(transfer_dtype).
 
 The ab_prefetch.py diagnosis: end-to-end training through this
 environment's axon tunnel is H2D-bound (~100 MB of f32 `v` per B=256
@@ -63,7 +64,7 @@ def main():
     key = jax.random.PRNGKey(1)
     loader = BatchLoader(ds, B, shuffle=True, seed=7, drop_last=True)
 
-    variants = ("float32", "float16")
+    variants = ("float32", "float16", "int8")
     for td in variants:  # compile both wire dtypes
         state = run_epoch(loader, step_fn, state, key, td)
         print(f"warm {td} ok", flush=True)

@@ -125,3 +125,24 @@ def test_cti_overfits_all_io_knobs_on(tmp_path):
                             transfer_dtype="float16")
     assert bound > 0.5
     assert score > 0.5 * bound, (score, bound)
+
+
+def test_cti_overfits_through_int8_wire(tmp_path):
+    """transfer_dtype=int8 (4x H2D byte cut) still learns: per-box
+    symmetric feature quantization on the wire, f32 compute after the
+    device-side dequant — the evidence behind offering int8 as the
+    transfer-bound-host knob (PROFILE.md r3)."""
+    root = str(tmp_path / "data")
+    d = make_vqa_fixture(root, n_train=32, n_val=32, n_images=8, v_dim=16,
+                         seed=5)
+    train_ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+
+    cfg = TrainConfig(epochs=18, batch_size=8, update_freq=1, saving_epoch=99,
+                      lr=2e-3, transfer_dtype="int8")
+    model = build_model(small_cfg(train_ds, "cti"))
+    state = train(model, train_ds, None, cfg, str(tmp_path / "out"),
+                  use_mesh=False, print_interval=10**9)
+
+    score, bound = evaluate(model, state.params, BatchLoader(train_ds, 8))
+    assert bound > 0.5
+    assert score > 0.5 * bound, (score, bound)

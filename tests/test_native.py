@@ -150,3 +150,25 @@ def test_make_eval_loader_native_sweep_matches_python(dataset):
         assert not gb[-1]["v"][8:].any()  # padded tail rows are zero
     finally:
         got.close()
+
+
+def test_native_quantize_rows_matches_numpy():
+    """The C++ vqadata_quantize_rows is bit-identical to the numpy
+    quantize_v fallback (same absmax/127 scale, round-half-even), so the
+    int8 wire is deterministic regardless of which path a host takes."""
+    from vqatpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(11)
+    v = (rng.randn(7, 5, 64) * rng.rand(7, 5, 1) * 10).astype(np.float32)
+    v[2, 1] = 0.0
+    out = native.quantize_rows(v)
+    assert out is not None
+    qn, sn = out
+    amax = np.maximum(v.max(-1), -v.min(-1))
+    sp = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    qp = np.rint(v * (1.0 / sp)[..., None]).astype(np.int8)
+    np.testing.assert_array_equal(sn, sp)
+    np.testing.assert_array_equal(qn, qp)
+    assert sn[2, 1] == 1.0 and not qn[2, 1].any()

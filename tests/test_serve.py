@@ -115,3 +115,24 @@ def test_transfer_dtype_halves_wire_precision_only(session_fixture_args=None):
     assert lbf.dtype == np.float32
     np.testing.assert_allclose(lbf, l32, atol=2e-1, rtol=2e-1)
     assert not np.array_equal(lbf, l32)
+
+
+def test_transfer_dtype_int8_wire(tmp_path, rng):
+    """int8 wire (4x byte cut): per-box symmetric quantization on the host,
+    dequantization inside the jitted predict; logits stay close to f32, and
+    the b spatials ride f16.  Covers b=None (CTI serve without spatials)
+    and the BAN+b path."""
+    sess32 = make_session(tmp_path)
+    sess8 = InferenceSession(sess32.model, sess32.params, ANS,
+                             batch_buckets=(2, 4, 8), max_boxes=10,
+                             transfer_dtype="int8")
+    v, b, q, a = reqs(rng, 3)
+    l32 = sess32.logits(v, b, q, a)
+    l8 = sess8.logits(v, b, q, a)
+    np.testing.assert_allclose(l8, l32, atol=5e-2, rtol=5e-2)
+    assert not np.array_equal(l8, l32)  # genuinely quantized on the wire
+
+    # without spatials (b=None)
+    np.testing.assert_allclose(sess8.logits(v, None, q, a),
+                               sess32.logits(v, None, q, a),
+                               atol=5e-2, rtol=5e-2)

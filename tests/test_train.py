@@ -249,6 +249,53 @@ def test_transfer_dtype_wire_path(rng):
         wire_cast(host, "fp32")
 
 
+def test_transfer_dtype_int8_wire(rng):
+    """int8 wire: per-box symmetric quantization (4x H2D byte cut).  The
+    host side emits int8 v + f32 v_scale + f16 b; the device side
+    dequantizes inside the jitted steps; eval logits stay close to f32 and
+    a train step runs finite."""
+    from vqatpu.train.loop import _device_batch
+    from vqatpu.train.steps import quantize_v, wire_cast
+
+    # quantizer contract: error bound, zero-row exactness, shapes
+    v = rng.randn(3, 5, 16).astype(np.float32) * 8.0
+    v[1, 2] = 0.0  # padded box stays exactly zero
+    q, scale = quantize_v(v)
+    assert q.dtype == np.int8 and scale.dtype == np.float32
+    assert q.shape == v.shape and scale.shape == (3, 5)
+    deq = q.astype(np.float32) * scale[..., None]
+    amax = np.abs(v).max(-1, keepdims=True)
+    assert np.all(np.abs(deq - v) <= amax / 254.0 + 1e-7)
+    assert not deq[1, 2].any() and scale[1, 2] == 1.0
+
+    cfg = tiny_cfg(model="ban", use_counter=True)  # counter consumes b
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    batch["target"] = jnp.asarray(
+        rng.rand(2, cfg.num_ans_candidates).astype(np.float32))
+
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    wired = _device_batch(host, transfer_dtype="int8")
+    assert wired["v"].dtype == np.int8 and wired["b"].dtype == np.float16
+    assert wired["v_scale"].shape == host["v"].shape[:2]
+    assert wire_cast(host, "float32") is host  # f32 path untouched
+
+    ev = make_eval_step(m)
+    out32 = ev(state.params, batch)
+    out8 = ev(state.params, {k: jnp.asarray(x) for k, x in wired.items()})
+    assert out8["logits"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out8["logits"]),
+                               np.asarray(out32["logits"]),
+                               atol=5e-2, rtol=5e-2)
+
+    tcfg = TrainConfig(update_freq=1, batch_size=2, transfer_dtype="int8")
+    step = make_train_step(m, tcfg)
+    _, metrics = step(state, {k: jnp.asarray(x) for k, x in wired.items()},
+                      jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+
+
 def test_profiler_trace_and_steptimer(tmp_path):
     import jax.numpy as jnp
     from vqatpu.train.profiling import StepTimer, trace
@@ -515,3 +562,33 @@ def test_skip_nonfinite_guard(rng):
                                               skip_nonfinite=True))
     _, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
     assert int(m["skipped"]) == 0 and int(m["updated"]) == 1
+
+
+def test_evaluate_sweep_int8_wire(tmp_path):
+    """The eval sweep surfaces (evaluate / get_logits) through the int8
+    wire: scores equal f32's on a tiny fixture and logits stay close —
+    the knob the test CLIs expose for transfer-bound hosts."""
+    from vqatpu.data import BatchLoader, VQAFeatureDataset
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.eval.ffoe import evaluate, get_logits
+    from vqatpu.models import build_model as build
+
+    root = str(tmp_path / "data")
+    d = make_vqa_fixture(root, n_train=8, n_val=16, n_images=4, v_dim=16,
+                         seed=3)
+    ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    cfg = ModelConfig(ntoken=d.ntoken, v_dim=16,
+                      num_ans_candidates=ds.num_ans_candidates,
+                      model="cti", num_hid=16, h_mm=8, rank=2, gamma=2)
+    m = build(cfg)
+    params = make_train_state(m, jax.random.PRNGKey(0)).params
+
+    s32 = evaluate(m, params, BatchLoader(ds, 8))
+    s8 = evaluate(m, params, BatchLoader(ds, 8), transfer_dtype="int8")
+    assert s32 == s8  # argmax-stable at tiny scale
+
+    l32, qids = get_logits(m, params, BatchLoader(ds, 8))
+    l8, qids8 = get_logits(m, params, BatchLoader(ds, 8),
+                           transfer_dtype="int8")
+    np.testing.assert_array_equal(qids, qids8)
+    np.testing.assert_allclose(l8, l32, atol=5e-2, rtol=5e-2)

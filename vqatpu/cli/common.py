@@ -102,11 +102,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "optimizer's HBM traffic; f32 = exact torch "
                              "trajectories)")
     parser.add_argument("--transfer_dtype", type=str, default="float32",
-                        choices=["float32", "float16", "bfloat16"],
+                        choices=["float32", "float16", "bfloat16", "int8"],
                         help="host->device wire dtype for the big feature "
-                             "tensors v/b (halves H2D bytes on transfer-"
-                             "bound hosts; the step upcasts on device — "
-                             "only input quantization differs from f32)")
+                             "tensors v/b (f16/bf16 halve H2D bytes on "
+                             "transfer-bound hosts; int8 ships v symmetric-"
+                             "quantized per box for a 4x cut; the step "
+                             "dequantizes on device — only input "
+                             "quantization differs from f32)")
     parser.add_argument("--rng_impl", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="dropout-mask PRNG (rbg = TPU hardware RNG, "

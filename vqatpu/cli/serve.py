@@ -54,7 +54,7 @@ def build_session(args):
     import jax.numpy as jnp
 
     wire = {"float32": None, "float16": np.float16,
-            "bfloat16": jnp.bfloat16}[
+            "bfloat16": jnp.bfloat16, "int8": "int8"}[
         getattr(args, "transfer_dtype", "float32")]
     return InferenceSession.from_checkpoint(
         ckpt, cfg, label2ans, max_boxes=args.max_boxes, transfer_dtype=wire,

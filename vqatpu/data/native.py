@@ -57,12 +57,37 @@ def _load_library():
     lib.vqadata_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.vqadata_loader_destroy.argtypes = [ctypes.c_void_p]
+    try:  # newer symbol — tolerate a stale prebuilt .so
+        lib.vqadata_quantize_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load_library() is not None
+
+
+def quantize_rows(v: np.ndarray, num_threads: int = 2):
+    """C++ single-pass per-row int8 quantization (the steps.quantize_v
+    contract: scale = absmax/127, all-zero rows scale 1).  Each minor row is
+    read once hot in L1; the numpy expression pays 3-4 cold full-array
+    passes (~8x slower at [256,50,2048] on the 1-core bench host).
+    Returns None when the native library (or symbol) is unavailable."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "vqadata_quantize_rows"):
+        return None
+    v = np.ascontiguousarray(v, np.float32)
+    rows = int(np.prod(v.shape[:-1])) if v.ndim > 1 else 1
+    d = v.shape[-1]
+    q = np.empty(v.shape, np.int8)
+    scale = np.empty(v.shape[:-1], np.float32)
+    lib.vqadata_quantize_rows(_ptr(v), rows, d, _ptr(q), _ptr(scale),
+                              num_threads)
+    return q, scale
 
 
 def _ptr(arr: np.ndarray):

@@ -52,8 +52,9 @@ class InferenceSession:
         # Serving latency is dominated by the host->device copy of the
         # [N, boxes, 2048] features, not compute (BENCH_MATRIX.json: 47 ms
         # b1 / 920 ms b32 on the tunnel vs 7.7 ms compute for 256 rows).
-        # transfer_dtype=np.float16 halves the wire bytes; the jitted
-        # predict upcasts to f32 on device (~1e-3-level logit change —
+        # transfer_dtype=np.float16 halves the wire bytes; "int8" ships v
+        # symmetric-quantized per box (4x cut, see steps.quantize_v); the
+        # jitted predict dequantizes on device (~1e-3-level logit change —
         # measure for your deployment before enabling).
         self.transfer_dtype = transfer_dtype
         self._predict_cache: Dict[int, callable] = {}
@@ -75,10 +76,14 @@ class InferenceSession:
 
             @jax.jit
             def predict(params, batch):
+                if "v_scale" in batch:  # int8 wire: dequantize on device
+                    batch = dict(batch)
+                    scale = batch.pop("v_scale")
+                    batch["v"] = batch["v"].astype(act) * scale[..., None].astype(act)
                 if "v" in batch and batch["v"].dtype != act:
                     batch = dict(batch, v=batch["v"].astype(act))
-                    if "b" in batch:
-                        batch["b"] = batch["b"].astype(act)
+                if "b" in batch and batch["b"].dtype != act:
+                    batch = dict(batch, b=batch["b"].astype(act))
                 logits, _ = model.apply(params, batch)
                 return logits.astype(jnp.float32)
 
@@ -143,12 +148,22 @@ class InferenceSession:
 
         wire = self.transfer_dtype or np.float32
         batch = {
-            "v": jnp.asarray(pad_rows(pad_boxes(v.astype(wire)))),
             "q": jnp.asarray(pad_rows(q.astype(np.int32))),
             "v_mask": jnp.asarray(pad_rows(mask)),
         }
-        if b is not None:
-            batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(wire))))
+        if wire in ("int8", np.int8):
+            from vqatpu.train.steps import quantize_v
+
+            vq, scale = quantize_v(pad_rows(pad_boxes(v)))
+            batch["v"] = jnp.asarray(vq)
+            batch["v_scale"] = jnp.asarray(scale)
+            if b is not None:
+                batch["b"] = jnp.asarray(
+                    pad_rows(pad_boxes(b.astype(np.float16))))
+        else:
+            batch["v"] = jnp.asarray(pad_rows(pad_boxes(v.astype(wire))))
+            if b is not None:
+                batch["b"] = jnp.asarray(pad_rows(pad_boxes(b.astype(wire))))
         if a is not None:
             batch["a"] = jnp.asarray(pad_rows(a.astype(np.int32)))
         return self._predict_fn(bucket)(self.params, batch), n

@@ -110,29 +110,67 @@ def make_train_state(model, key: jax.Array, tfidf_loaded: bool = False,
     )
 
 
+def quantize_v(v: np.ndarray):
+    """Per-(sample, box) symmetric int8 quantization of the feature slab:
+    ``scale = absmax(row)/127`` (f32, shape ``v.shape[:-1]``), ``q =
+    rint(v/scale)`` int8.  All-zero rows (box padding) get scale 1 and stay
+    exactly zero.  Max per-element error is ``row_absmax/254`` (~0.4% of
+    the row peak) — the wire-accuracy trade for a 4x H2D byte cut."""
+    v = np.asarray(v, np.float32)
+    try:  # single-pass C++ path (~8x on the bench host; see native.py)
+        from vqatpu.data.native import quantize_rows
+
+        out = quantize_rows(v)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    # numpy fallback: max/-min reductions avoid the full-size |v| temp
+    amax = np.maximum(v.max(axis=-1), -v.min(axis=-1))
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.rint(v * (1.0 / scale)[..., None]).astype(np.int8)
+    return q, scale
+
+
 def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
-    """Host-side half of the wire-dtype contract: cast the big feature
-    tensors (v, b) to a half dtype before device_put, halving H2D bytes on
-    transfer-bound hosts (measured −28% epoch wall on the bench tunnel,
-    PROFILE.md).  The jitted steps upcast on device (``_upcast_wire``)."""
+    """Host-side half of the wire-dtype contract: shrink the big feature
+    tensors (v, b) before device_put on transfer-bound hosts (measured
+    −28% epoch wall at f16 on the bench tunnel, PROFILE.md).  ``int8``
+    ships ``v`` symmetric-quantized per box (see :func:`quantize_v`, a
+    ``v_scale`` side tensor rides along at ~0.05% of the bytes) and ``b``
+    as f16 — 4x fewer wire bytes than f32.  The jitted steps dequantize /
+    upcast on device (``_upcast_wire``)."""
     if transfer_dtype == "float32":
         return db
+    if transfer_dtype == "int8":
+        out = dict(db)
+        if "v" in db:
+            out["v"], out["v_scale"] = quantize_v(db["v"])
+        if "b" in db:
+            out["b"] = np.asarray(db["b"]).astype(np.float16)
+        return out
     wires = {"float16": np.float16, "bfloat16": jnp.bfloat16}
     if transfer_dtype not in wires:
         raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}; "
-                         f"expected float32, float16, or bfloat16")
+                         f"expected float32, float16, bfloat16, or int8")
     wire = wires[transfer_dtype]
     return dict(db, **{k: np.asarray(db[k]).astype(wire)
                        for k in ("v", "b") if k in db})
 
 
 def _upcast_wire(batch):
-    """Upcast half-precision *wire* feature tensors back to f32 on device.
+    """Device-side half of the wire contract: dequantize int8 ``v`` (via
+    the ``v_scale`` side tensor, which is dropped here) and upcast f16/bf16
+    feature tensors back to f32.
 
-    ``TrainConfig.transfer_dtype`` lets the host ship v/b as f16/bf16 to
-    halve H2D bytes (the dominant end-to-end term on transfer-bound hosts,
+    ``TrainConfig.transfer_dtype`` lets the host ship v/b small to cut H2D
+    bytes (the dominant end-to-end term on transfer-bound hosts,
     PROFILE.md); compute semantics past this point are unchanged — only the
     input quantization differs from a pure-f32 run."""
+    if "v_scale" in batch:
+        batch = dict(batch)
+        scale = batch.pop("v_scale")
+        batch["v"] = batch["v"].astype(jnp.float32) * scale[..., None]
     cast = {k: batch[k].astype(jnp.float32)
             for k in ("v", "b")
             if k in batch and batch[k].dtype in (jnp.float16, jnp.bfloat16)}
