@@ -71,13 +71,67 @@ void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
   }
 }
 
+// int8 variant of assemble_range for the transfer_dtype="int8" wire: each
+// box row is quantized straight OUT OF THE STORE (scale = absmax/127, q =
+// rint(v/scale) — the steps.quantize_v contract) so the f32 slab is never
+// materialized; the quantized path writes 4x FEWER bytes than f32
+// assembly.  Padded boxes emit q=0, scale=1.
+void assemble_range_q8(const Store& s, const int64_t* image_idx, int64_t lo,
+                       int64_t hi, int64_t max_boxes, int8_t* out_v,
+                       float* out_scale, float* out_b, uint8_t* out_mask) {
+  for (int64_t i = lo; i < hi; ++i) {
+    const int64_t img = image_idx[i];
+    int64_t start, count;
+    if (s.pos_boxes != nullptr) {
+      start = s.pos_boxes[2 * img];
+      count = s.pos_boxes[2 * img + 1] - start;
+    } else {
+      start = img * s.fixed_boxes;
+      count = s.fixed_boxes;
+    }
+    if (count > max_boxes) count = max_boxes;
+
+    int8_t* v_row = out_v + i * max_boxes * s.v_dim;
+    float* sc_row = out_scale + i * max_boxes;
+    float* b_row = out_b + i * max_boxes * s.s_dim;
+    uint8_t* m_row = out_mask + i * max_boxes;
+
+    for (int64_t box = 0; box < count; ++box) {
+      const float* src = s.features + (start + box) * s.v_dim;
+      int8_t* dst = v_row + box * s.v_dim;
+      float amax = 0.0f;
+      for (int64_t k = 0; k < s.v_dim; ++k) {
+        const float a = std::fabs(src[k]);
+        if (a > amax) amax = a;
+      }
+      const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
+      sc_row[box] = sc;
+      const float inv = 1.0f / sc;
+      for (int64_t k = 0; k < s.v_dim; ++k) {
+        dst[k] = static_cast<int8_t>(std::lrintf(src[k] * inv));
+      }
+    }
+    std::memset(v_row + count * s.v_dim, 0,
+                (max_boxes - count) * s.v_dim);
+    std::fill(sc_row + count, sc_row + max_boxes, 1.0f);
+    std::memcpy(b_row, s.spatials + start * s.s_dim,
+                count * s.s_dim * sizeof(float));
+    std::memset(b_row + count * s.s_dim, 0,
+                (max_boxes - count) * s.s_dim * sizeof(float));
+    std::memset(m_row, 1, count);
+    std::memset(m_row + count, 0, max_boxes - count);
+  }
+}
+
 // A ring slot: caller-registered output buffers the worker assembles
 // DIRECTLY into (zero-copy hand-off; the old slab->caller memcpy cost
 // ~24 ms/batch at [256, 50, 2048] on a 1-core host).  A slot's contents
 // are valid from the time loader_next returns it until the consumer's
 // NEXT loader_next call (which recycles it).
 struct Slot {
-  float* v = nullptr;
+  float* v = nullptr;       // f32 mode
+  int8_t* v_q = nullptr;    // int8 mode (quantize-on-assembly)
+  float* v_scale = nullptr; // int8 mode, [batch, max_boxes]
   float* b = nullptr;
   uint8_t* mask = nullptr;
   int64_t* indices = nullptr;
@@ -97,6 +151,7 @@ struct Loader {
   int64_t max_boxes;
   bool drop_last;
   int64_t assemble_threads = 1;  // fan-out within the prefetch worker
+  bool quantize = false;  // int8 slots (assemble_range_q8)
 
   std::deque<std::vector<int64_t>> orders;  // pending epoch orders
   std::vector<Slot> slots;                  // registered ring buffers
@@ -137,18 +192,31 @@ struct Loader {
           images[i] = row_to_image[s.indices[i]];
         // zero the padded tail rows (partial final batch)
         if (rows < batch_size) {
-          std::memset(s.v + rows * max_boxes * store.v_dim, 0,
-                      (batch_size - rows) * max_boxes * store.v_dim *
-                          sizeof(float));
+          const int64_t tail = batch_size - rows;
+          if (quantize) {
+            std::memset(s.v_q + rows * max_boxes * store.v_dim, 0,
+                        tail * max_boxes * store.v_dim);
+            std::fill(s.v_scale + rows * max_boxes,
+                      s.v_scale + batch_size * max_boxes, 1.0f);
+          } else {
+            std::memset(s.v + rows * max_boxes * store.v_dim, 0,
+                        tail * max_boxes * store.v_dim * sizeof(float));
+          }
           std::memset(s.b + rows * max_boxes * store.s_dim, 0,
-                      (batch_size - rows) * max_boxes * store.s_dim *
-                          sizeof(float));
-          std::memset(s.mask + rows * max_boxes, 0,
-                      (batch_size - rows) * max_boxes);
+                      tail * max_boxes * store.s_dim * sizeof(float));
+          std::memset(s.mask + rows * max_boxes, 0, tail * max_boxes);
         }
+        auto assemble = [&](int64_t lo, int64_t hi) {
+          if (quantize) {
+            assemble_range_q8(store, images.data(), lo, hi, max_boxes, s.v_q,
+                              s.v_scale, s.b, s.mask);
+          } else {
+            assemble_range(store, images.data(), lo, hi, max_boxes, s.v, s.b,
+                           s.mask);
+          }
+        };
         if (assemble_threads <= 1 || rows < 8) {
-          assemble_range(store, images.data(), 0, rows, max_boxes, s.v, s.b,
-                         s.mask);
+          assemble(0, rows);
         } else {
           std::vector<std::thread> pool;
           const int64_t chunk =
@@ -157,10 +225,7 @@ struct Loader {
             const int64_t lo = t * chunk;
             const int64_t hi = std::min(rows, lo + chunk);
             if (lo >= hi) break;
-            pool.emplace_back([&, lo, hi] {
-              assemble_range(store, images.data(), lo, hi, max_boxes, s.v,
-                             s.b, s.mask);
-            });
+            pool.emplace_back([&assemble, lo, hi] { assemble(lo, hi); });
           }
           for (auto& th : pool) th.join();
         }
@@ -243,8 +308,13 @@ void vqadata_loader_push_order(void* handle, const int64_t* order,
 void vqadata_loader_register_slot(void* handle, float* v, float* b,
                                   uint8_t* mask, int64_t* indices) {
   auto* l = static_cast<Loader*>(handle);
+  Slot s;
+  s.v = v;
+  s.b = b;
+  s.mask = mask;
+  s.indices = indices;
   std::lock_guard<std::mutex> lock(l->mu);
-  l->slots.push_back(Slot{v, b, mask, indices, 0});
+  l->slots.push_back(s);
   l->free_slots.push_back(static_cast<int64_t>(l->slots.size()) - 1);
 }
 
@@ -283,6 +353,70 @@ int64_t vqadata_loader_next(void* handle, int64_t release_slot,
   l->ready.pop_front();
   *out_rows = l->slots[slot_id].rows;
   return slot_id;
+}
+
+// Switch a freshly-created loader to int8 (quantize-on-assembly) slots.
+// Call BEFORE registering slots; int8 slots are registered with
+// vqadata_loader_register_slot_q8 and rotated with vqadata_loader_swap_vq8.
+void vqadata_loader_set_quantize(void* handle, int on) {
+  static_cast<Loader*>(handle)->quantize = on != 0;
+}
+
+void vqadata_loader_register_slot_q8(void* handle, int8_t* v_q,
+                                     float* v_scale, float* b, uint8_t* mask,
+                                     int64_t* indices) {
+  auto* l = static_cast<Loader*>(handle);
+  Slot s;
+  s.v_q = v_q;
+  s.v_scale = v_scale;
+  s.b = b;
+  s.mask = mask;
+  s.indices = indices;
+  {
+    std::lock_guard<std::mutex> lock(l->mu);
+    l->slots.push_back(s);
+    l->free_slots.push_back(static_cast<int64_t>(l->slots.size()) - 1);
+  }
+  l->cv_space.notify_one();
+}
+
+// int8-mode ownership rotation (the f32 swap_vb analog): the consumer hands
+// fresh v_q/v_scale/b buffers before recycling a slot, keeping the yielded
+// batch's buffers with their holders (JAX aliases aligned numpy zero-copy).
+void vqadata_loader_swap_vq8(void* handle, int64_t slot_id, int8_t* v_q,
+                             float* v_scale, float* b) {
+  auto* l = static_cast<Loader*>(handle);
+  std::lock_guard<std::mutex> lock(l->mu);
+  Slot& s = l->slots[slot_id];
+  s.v_q = v_q;
+  s.v_scale = v_scale;
+  s.b = b;
+}
+
+// Synchronous int8 gather+quantize+pad (the vqadata_assemble analog).
+void vqadata_assemble_q8(void* handle, const int64_t* image_idx, int64_t n,
+                         int64_t max_boxes, int8_t* out_v, float* out_scale,
+                         float* out_b, uint8_t* out_mask,
+                         int64_t num_threads) {
+  const Store& s = *static_cast<Store*>(handle);
+  if (num_threads <= 1 || n < 4) {
+    assemble_range_q8(s, image_idx, 0, n, max_boxes, out_v, out_scale, out_b,
+                      out_mask);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n + num_threads - 1) / num_threads;
+  for (int64_t t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    if (lo >= n) break;
+    const int64_t hi = std::min(n, lo + chunk);
+    threads.emplace_back([&s, image_idx, lo, hi, max_boxes, out_v, out_scale,
+                          out_b, out_mask] {
+      assemble_range_q8(s, image_idx, lo, hi, max_boxes, out_v, out_scale,
+                        out_b, out_mask);
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Per-row symmetric int8 quantization for the transfer_dtype="int8" wire

@@ -3,7 +3,9 @@
 // rotation). Built by `make test` (and `make tsan_test` for the
 // ThreadSanitizer build).
 
+#include <algorithm>
 #include <cassert>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -22,6 +24,12 @@ void vqadata_loader_register_slot(void*, float*, float*, uint8_t*, int64_t*);
 void vqadata_loader_swap_vb(void*, int64_t, float*, float*);
 int64_t vqadata_loader_next(void*, int64_t, int64_t*);
 void vqadata_loader_destroy(void*);
+void vqadata_loader_set_quantize(void*, int);
+void vqadata_loader_register_slot_q8(void*, int8_t*, float*, float*, uint8_t*,
+                                     int64_t*);
+void vqadata_loader_swap_vq8(void*, int64_t, int8_t*, float*, float*);
+void vqadata_assemble_q8(void*, const int64_t*, int64_t, int64_t, int8_t*,
+                         float*, float*, uint8_t*, int64_t);
 }
 
 int main() {
@@ -128,6 +136,104 @@ int main() {
   }
   assert(seen == epochs * n_rows);
   vqadata_loader_destroy(loader);
+
+  // int8 quantize-on-assembly: the synchronous entry must match the
+  // quantize_v contract (scale = absmax/127, q = rint(v/scale); padded
+  // boxes q=0 / scale=1), and the q8 loader must yield the same bytes.
+  std::vector<int8_t> q_v(idx.size() * max_boxes * v_dim);
+  std::vector<float> q_s(idx.size() * max_boxes);
+  std::vector<float> q_b(idx.size() * max_boxes * s_dim);
+  std::vector<uint8_t> q_m(idx.size() * max_boxes);
+  vqadata_assemble_q8(store, idx.data(), idx.size(), max_boxes, q_v.data(),
+                      q_s.data(), q_b.data(), q_m.data(), 2);
+  for (size_t r = 0; r < idx.size(); ++r) {
+    const int64_t img = idx[r];
+    const int64_t start = pos[2 * img];
+    const int64_t count = pos[2 * img + 1] - start;
+    for (int64_t box = 0; box < max_boxes; ++box) {
+      const int8_t* qrow = q_v.data() + (r * max_boxes + box) * v_dim;
+      const float scale = q_s[r * max_boxes + box];
+      if (box >= count) {  // padding: exact zeros, unit scale
+        assert(scale == 1.0f);
+        for (int64_t k = 0; k < v_dim; ++k) assert(qrow[k] == 0);
+        continue;
+      }
+      const float* src = feats.data() + (start + box) * v_dim;
+      float amax = 0.0f;
+      for (int64_t k = 0; k < v_dim; ++k)
+        amax = std::max(amax, std::abs(src[k]));
+      const float want = amax > 0.0f ? amax / 127.0f : 1.0f;
+      assert(scale == want);
+      for (int64_t k = 0; k < v_dim; ++k) {
+        const float deq = static_cast<float>(qrow[k]) * scale;
+        assert(std::abs(deq - src[k]) <= 0.5f * scale + 1e-6f);
+      }
+    }
+    // spatials and mask ride along exactly as the f32 assembly emits them
+    assert(std::memcmp(q_b.data() + r * max_boxes * s_dim,
+                       out_b.data() + r * max_boxes * s_dim,
+                       max_boxes * s_dim * sizeof(float)) == 0);
+    assert(std::memcmp(q_m.data() + r * max_boxes,
+                       out_m.data() + r * max_boxes, max_boxes) == 0);
+  }
+
+  // q8 prefetch loader: one epoch, sequential order; bytes must equal the
+  // synchronous q8 assembly of the same rows
+  void* qloader = vqadata_loader_create(store, row_to_image.data(), n_rows,
+                                        bs, max_boxes, /*drop_last=*/0,
+                                        /*assemble_threads=*/2);
+  vqadata_loader_set_quantize(qloader, 1);
+  std::vector<std::vector<int8_t>> qv_bufs;
+  std::vector<std::vector<float>> qs_bufs, qb_bufs;
+  std::vector<std::vector<uint8_t>> qm_bufs(
+      kSlots, std::vector<uint8_t>(bs * max_boxes));
+  std::vector<std::vector<int64_t>> qi_bufs(kSlots, std::vector<int64_t>(bs));
+  std::vector<int64_t> qslot_buf(kSlots);
+  for (int64_t s = 0; s < kSlots; ++s) {
+    qv_bufs.emplace_back(v_sz);
+    qs_bufs.emplace_back(bs * max_boxes);
+    qb_bufs.emplace_back(b_sz);
+    qslot_buf[s] = s;
+    vqadata_loader_register_slot_q8(qloader, qv_bufs[s].data(),
+                                    qs_bufs[s].data(), qb_bufs[s].data(),
+                                    qm_bufs[s].data(), qi_bufs[s].data());
+  }
+  std::vector<int64_t> seq(n_rows);
+  for (int64_t i = 0; i < n_rows; ++i) seq[i] = i;
+  vqadata_loader_push_order(qloader, seq.data(), n_rows);
+  held = -1;
+  for (int64_t batch = 0; batch < batches_per_epoch; ++batch) {
+    if (held >= 0) {
+      qv_bufs.emplace_back(v_sz);
+      qs_bufs.emplace_back(bs * max_boxes);
+      qb_bufs.emplace_back(b_sz);
+      const int64_t nb = static_cast<int64_t>(qv_bufs.size()) - 1;
+      vqadata_loader_swap_vq8(qloader, held, qv_bufs[nb].data(),
+                              qs_bufs[nb].data(), qb_bufs[nb].data());
+      qslot_buf[held] = nb;
+    }
+    int64_t rows = 0;
+    const int64_t slot = vqadata_loader_next(qloader, held, &rows);
+    assert(slot >= 0 && slot < kSlots);
+    held = slot;
+    // reference: synchronous q8 assembly of the same image rows
+    std::vector<int64_t> imgs(rows);
+    for (int64_t r = 0; r < rows; ++r)
+      imgs[r] = row_to_image[qi_bufs[slot][r]];
+    std::vector<int8_t> ref_v(rows * max_boxes * v_dim);
+    std::vector<float> ref_s(rows * max_boxes), ref_b(rows * max_boxes * s_dim);
+    std::vector<uint8_t> ref_m(rows * max_boxes);
+    vqadata_assemble_q8(store, imgs.data(), rows, max_boxes, ref_v.data(),
+                        ref_s.data(), ref_b.data(), ref_m.data(), 1);
+    assert(std::memcmp(qv_bufs[qslot_buf[slot]].data(), ref_v.data(),
+                       ref_v.size()) == 0);
+    assert(std::memcmp(qs_bufs[qslot_buf[slot]].data(), ref_s.data(),
+                       ref_s.size() * sizeof(float)) == 0);
+    assert(std::memcmp(qb_bufs[qslot_buf[slot]].data(), ref_b.data(),
+                       ref_b.size() * sizeof(float)) == 0);
+    assert(std::memcmp(qm_bufs[slot].data(), ref_m.data(), ref_m.size()) == 0);
+  }
+  vqadata_loader_destroy(qloader);
   vqadata_store_destroy(store);
   std::printf("vqadata_test: OK\n");
   return 0;

@@ -99,6 +99,12 @@ def _serve_rows(results):
                                   batch_buckets=(1, 32), max_boxes=50,
                                   transfer_dtype=np.float16,
                                   compute_dtype="bfloat16"),
+        # int8 wire (4x fewer H2D bytes than f32; steps.quantize_v via the
+        # C++ single-pass quantizer) + bf16 forward
+        "_fast8": InferenceSession(model, params, ["a"] * 3129,
+                                   batch_buckets=(1, 32), max_boxes=50,
+                                   transfer_dtype="int8",
+                                   compute_dtype="bfloat16"),
     }
     rng = np.random.RandomState(3)
     for n, base in ((1, "serve_latency_b1"), (32, "serve_latency_b32")):

@@ -152,6 +152,60 @@ def test_make_eval_loader_native_sweep_matches_python(dataset):
         got.close()
 
 
+def test_native_q8_loader_matches_python_plus_quantize(dataset):
+    """Quantize-on-assembly (transfer_dtype="int8" via the native loader):
+    the q8 loader's (v int8, v_scale, b, mask, fields) stream must be
+    bit-identical to the Python BatchLoader followed by steps.quantize_v —
+    shuffled epochs AND the zero-padded partial final batch."""
+    from vqatpu.train.steps import quantize_v
+
+    py = BatchLoader(dataset, batch_size=16, shuffle=True, seed=5)
+    nat = native.NativeBatchLoader(dataset, batch_size=16, shuffle=True,
+                                   seed=5, quantize=True)
+    try:
+        for _ in range(2):
+            for pb, nb in zip(py, nat):
+                assert set(nb) == set(pb) | {"v_scale"}
+                assert nb["v"].dtype == np.int8
+                q, s = quantize_v(pb["v"])
+                np.testing.assert_array_equal(nb["v"], q)
+                np.testing.assert_array_equal(nb["v_scale"], s)
+                for k in pb:
+                    if k != "v":
+                        np.testing.assert_array_equal(pb[k], nb[k],
+                                                      err_msg=k)
+    finally:
+        nat.close()
+
+
+def test_train_loop_int8_native_matches_python_wire(dataset, tmp_path):
+    """transfer_dtype="int8" end-to-end: a train() run through the native
+    q8 loader produces the same loss lines as the Python loader + host-side
+    wire_cast quantization (both quantizers implement the same contract)."""
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    cfg = ModelConfig(ntoken=dataset.dictionary.ntoken, v_dim=dataset.v_dim,
+                      num_ans_candidates=dataset.num_ans_candidates,
+                      model="cti", num_hid=16, h_mm=8, rank=2, gamma=2)
+    tcfg = TrainConfig(epochs=1, batch_size=8, update_freq=1,
+                       saving_epoch=99, transfer_dtype="int8")
+    model = build_model(cfg)
+
+    def lines(out):
+        return [ln for ln in open(out + "/log.txt")
+                if ln.startswith("\ttrain_loss:")]
+
+    out_n = str(tmp_path / "nat8")
+    train(model, dataset, None, tcfg, out_n, print_interval=10 ** 6,
+          use_native_loader=True)
+    out_p = str(tmp_path / "py8")
+    train(model, dataset, None, tcfg, out_p, print_interval=10 ** 6,
+          use_native_loader=False)
+    assert lines(out_n) == lines(out_p)
+
+
 def test_native_quantize_rows_matches_numpy():
     """The C++ vqadata_quantize_rows is bit-identical to the numpy
     quantize_v fallback (same absmax/127 scale, round-half-even), so the

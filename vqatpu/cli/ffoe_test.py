@@ -44,7 +44,8 @@ def main(argv=None):
                           load_params_any(args.input, args.epoch, model))
 
     loader = make_eval_loader(eval_dset, args.batch_size,
-                              use_native=args.native_loader)
+                              use_native=args.native_loader,
+                              quantize=(args.transfer_dtype == "int8"))
     logits, qids = get_logits(model, params, loader,
                               compute_dtype=args.compute_dtype,
                               transfer_dtype=args.transfer_dtype)

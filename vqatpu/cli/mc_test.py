@@ -44,7 +44,9 @@ def main(argv=None):
 
     acc, _ = evaluate_mc(model, params,
                          make_eval_loader(eval_dset, args.batch_size,
-                                          use_native=args.native_loader),
+                                          use_native=args.native_loader,
+                                          quantize=(args.transfer_dtype
+                                                    == "int8")),
                          compute_dtype=args.compute_dtype,
                          transfer_dtype=args.transfer_dtype)
     print(f"{args.split} accuracy: {100 * acc:.2f}")

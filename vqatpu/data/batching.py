@@ -132,7 +132,8 @@ class PrefetchLoader:
             yield b
 
 
-def make_eval_loader(dataset, batch_size: int, use_native: bool = True):
+def make_eval_loader(dataset, batch_size: int, use_native: bool = True,
+                     quantize: bool = False):
     """Sequential-sweep loader for eval/inference: no shuffle, padded final
     batch with a ``valid`` row mask.
 
@@ -140,7 +141,11 @@ def make_eval_loader(dataset, batch_size: int, use_native: bool = True):
     training, PROFILE.md: 15.7 vs 65-85 ms/batch at B=256) when the library
     builds, the dataset exposes a resident FeatureStore, and falls back to
     the prefetch-wrapped Python ``BatchLoader`` otherwise.  Either loader
-    yields byte-identical batches (tests/test_native.py)."""
+    yields byte-identical batches (tests/test_native.py).
+
+    ``quantize=True`` (pass when sweeping with ``transfer_dtype="int8"``)
+    makes the native loader quantize on assembly (v int8 + v_scale); the
+    Python fallback still yields f32 v and quantizes in ``wire_cast``."""
     if (use_native and hasattr(dataset, "store")
             and hasattr(dataset, "entries")
             and getattr(dataset.store, "in_memory", True)):
@@ -149,7 +154,8 @@ def make_eval_loader(dataset, batch_size: int, use_native: bool = True):
             if native.available():
                 return native.NativeBatchLoader(dataset, batch_size,
                                                 shuffle=False,
-                                                drop_last=False)
+                                                drop_last=False,
+                                                quantize=quantize)
         except Exception:
             pass
     return PrefetchLoader(BatchLoader(dataset, batch_size))

@@ -145,7 +145,10 @@ def expand_mc_batch(batch: dict) -> dict:
         return np.repeat(x[:, None], n, axis=1).reshape((B * n,) + x.shape[1:])
 
     a = batch["label"].reshape(B * n, 1)
+    extra = ({"v_scale": tile(batch["v_scale"])} if "v_scale" in batch
+             else {})  # int8-wire side tensor rides with its v
     return {
+        **extra,
         "v": tile(batch["v"]),
         "b": tile(batch["b"]),
         "v_mask": tile(batch["v_mask"]),

@@ -57,10 +57,22 @@ def _load_library():
     lib.vqadata_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.vqadata_loader_destroy.argtypes = [ctypes.c_void_p]
-    try:  # newer symbol — tolerate a stale prebuilt .so
+    try:  # newer symbols — tolerate a stale prebuilt .so
         lib.vqadata_quantize_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.vqadata_loader_set_quantize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.vqadata_loader_register_slot_q8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.vqadata_loader_swap_vq8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.vqadata_assemble_q8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
     except AttributeError:
         pass
     _lib = lib
@@ -170,11 +182,12 @@ class NativeBatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 1204, drop_last: bool = False,
-                 assemble_threads: int = 0):
+                 assemble_threads: int = 0, quantize: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.quantize = quantize
         if assemble_threads <= 0:
             # leave one core for the consumer/dispatch thread
             assemble_threads = max(1, (os.cpu_count() or 1) - 1)
@@ -203,51 +216,70 @@ class NativeBatchLoader:
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
             self.max_boxes, int(drop_last), assemble_threads)
+        if quantize:
+            # int8 quantize-on-assembly (transfer_dtype="int8" wire): the
+            # worker quantizes each box row straight out of the store
+            # (steps.quantize_v contract) — 4x fewer bytes written than f32
+            # assembly, and the f32 slab is never materialized.
+            assert hasattr(lib, "vqadata_loader_set_quantize"), \
+                "stale libvqadata.so: rebuild with `make -C native`"
+            lib.vqadata_loader_set_quantize(self._handle, 1)
         # Zero-copy ring with OWNERSHIP ROTATION: the worker assembles
         # straight into registered numpy buffers, and a yielded batch keeps
-        # its v/b buffers FOREVER (consumers — including JAX's CPU backend,
-        # which aliases aligned numpy memory into jax.Arrays — may hold
-        # them indefinitely).  Before a slot is recycled, fresh v/b buffers
-        # are swapped in (vqadata_loader_swap_vb); retired buffers return
+        # its big rotating buffers (v/b, plus v_scale in int8 mode) FOREVER
+        # (consumers — including JAX's CPU backend, which aliases aligned
+        # numpy memory into jax.Arrays — may hold them indefinitely).
+        # Before a slot is recycled, fresh buffers are swapped in
+        # (vqadata_loader_swap_vb / _swap_vq8); retired buffers return
         # through ``_retired`` and are reused only once their refcount
         # shows every external holder has dropped them.  mask/indices stay
         # slot-resident: next_batch copies them out synchronously.
         self._slots = []
         for _ in range(3):
-            slot = (self._alloc_v(), self._alloc_b(),
-                    np.zeros((batch_size, self.max_boxes), np.uint8),
-                    np.zeros((batch_size,), np.int64))
-            lib.vqadata_loader_register_slot(self._handle, *(_ptr(a)
-                                                             for a in slot))
-            self._slots.append(slot)
+            rot = self._alloc_rot()
+            mask = np.zeros((batch_size, self.max_boxes), np.uint8)
+            idx = np.zeros((batch_size,), np.int64)
+            register = (lib.vqadata_loader_register_slot_q8 if quantize
+                        else lib.vqadata_loader_register_slot)
+            register(self._handle, *(_ptr(a) for a in rot), _ptr(mask),
+                     _ptr(idx))
+            self._slots.append((rot, mask, idx))
         self._held_slot = -1
-        self._retired: list = []  # [v, b] pairs awaiting exclusive ownership
-
-    def _alloc_v(self) -> np.ndarray:
-        return _aligned_empty(
-            (self.batch_size, self.max_boxes, self.store.v_dim), np.float32)
+        self._retired: list = []  # rotating-buffer tuples awaiting ownership
 
     def _alloc_b(self) -> np.ndarray:
         return _aligned_empty(
             (self.batch_size, self.max_boxes, self.store.s_dim), np.float32)
 
-    def _fresh_vb(self):
-        """Reuse a retired v/b pair iff nothing else references it (the
-        caller's batch dict, a JAX zero-copy alias, or an in-flight device
-        transfer all hold a reference; getrefcount == 3 counts exactly the
-        retired-list entry, the loop binding, and the getrefcount argument).
-        Otherwise allocate fresh — the steady state retires into reuse
-        within a batch or two, so allocation is a cold-start cost only."""
+    def _alloc_rot(self):
+        """One set of per-batch rotating buffers: (v, b) in f32 mode,
+        (v_q, v_scale, b) in int8 mode."""
+        shape_v = (self.batch_size, self.max_boxes, self.store.v_dim)
+        if self.quantize:
+            return (_aligned_empty(shape_v, np.int8),
+                    _aligned_empty((self.batch_size, self.max_boxes),
+                                   np.float32),
+                    self._alloc_b())
+        return (_aligned_empty(shape_v, np.float32), self._alloc_b())
+
+    def _fresh_rot(self):
+        """Reuse a retired buffer set iff nothing else references any of its
+        arrays (the caller's batch dict, a JAX zero-copy alias, or an
+        in-flight device transfer all hold a reference; getrefcount == 3
+        counts exactly the retired tuple's slot, the genexpr binding, and
+        the getrefcount argument).  Otherwise allocate fresh — the steady
+        state retires into reuse within a batch or two, so allocation is a
+        cold-start cost only."""
         import sys
 
-        for i, (v, b) in enumerate(self._retired):
-            if sys.getrefcount(v) == 3 and sys.getrefcount(b) == 3:
+        for i, bufs in enumerate(self._retired):
+            if all(sys.getrefcount(a) == 3 for a in bufs):
                 self._retired.pop(i)
-                return v, b
+                return bufs
         # cap the scan list; dropped entries are freed by their last holder
         if len(self._retired) > 8:
             self._retired.pop(0)
-        return self._alloc_v(), self._alloc_b()
+        return self._alloc_rot()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -269,24 +301,31 @@ class NativeBatchLoader:
         rows_out = np.zeros((1,), np.int64)
         prev = self._held_slot
         if prev >= 0:
-            # rotate ownership BEFORE recycling: the handed-out v/b of the
-            # previous batch stay with their holders; the slot gets fresh
-            # buffers for the worker's next assembly
-            nv, nb = self._fresh_vb()
-            self._lib.vqadata_loader_swap_vb(self._handle, prev,
-                                             _ptr(nv), _ptr(nb))
-            old_v, old_b, m, idx = self._slots[prev]
-            self._slots[prev] = (nv, nb, m, idx)
-            self._retired.append((old_v, old_b))
+            # rotate ownership BEFORE recycling: the handed-out buffers of
+            # the previous batch stay with their holders; the slot gets
+            # fresh buffers for the worker's next assembly
+            fresh = self._fresh_rot()
+            swap = (self._lib.vqadata_loader_swap_vq8 if self.quantize
+                    else self._lib.vqadata_loader_swap_vb)
+            swap(self._handle, prev, *(_ptr(a) for a in fresh))
+            old_rot, m, idx = self._slots[prev]
+            self._slots[prev] = (fresh, m, idx)
+            self._retired.append(old_rot)
         slot = self._lib.vqadata_loader_next(self._handle, prev,
                                              _ptr(rows_out))
         assert slot >= 0, "native loader stopped"
         self._held_slot = slot
         rows = int(rows_out[0])
-        out_v, out_b, out_m, out_idx = self._slots[slot]
-        # partial FINAL batches arrive with zeroed tails (vqadata.cc:137-146)
-        # — identical to BatchLoader.pad_final, so eval sweeps are exact
-        batch = {"v": out_v, "b": out_b, "v_mask": out_m.astype(bool)}
+        rot, out_m, out_idx = self._slots[slot]
+        # partial FINAL batches arrive with zeroed tails (vqadata.cc) —
+        # identical to BatchLoader.pad_final, so eval sweeps are exact
+        if self.quantize:
+            out_v, out_scale, out_b = rot
+            batch = {"v": out_v, "v_scale": out_scale, "b": out_b,
+                     "v_mask": out_m.astype(bool)}
+        else:
+            out_v, out_b = rot
+            batch = {"v": out_v, "b": out_b, "v_mask": out_m.astype(bool)}
         valid = np.zeros((bs,), bool)
         valid[:rows] = True
         idx = out_idx[:rows]

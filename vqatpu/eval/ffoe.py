@@ -29,7 +29,8 @@ def get_logits(model, params, loader: BatchLoader,
     for batch in loader:
         valid = batch.pop("valid")
         db = wire_cast({k: v for k, v in batch.items()
-                        if k in ("v", "b", "q", "a", "v_mask", "target")},
+                        if k in ("v", "v_scale", "b", "q", "a", "v_mask",
+                                 "target")},
                        transfer_dtype)
         out = eval_step(params, db)
         logits = np.asarray(out["logits"])[valid]
@@ -76,7 +77,8 @@ def evaluate(model, params, loader: BatchLoader, mesh=None,
     for batch in loader:
         valid = batch.pop("valid")
         db = wire_cast({k: v for k, v in batch.items()
-                        if k in ("v", "b", "q", "a", "v_mask", "target")},
+                        if k in ("v", "v_scale", "b", "q", "a", "v_mask",
+                                 "target")},
                        transfer_dtype)
         out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])

@@ -58,7 +58,8 @@ def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
     for batch in loader:
         valid = batch.pop("valid")
         ex = expand_mc_batch(batch)
-        db = wire_cast({k: ex[k] for k in ("v", "b", "q", "a")},
+        db = wire_cast({k: ex[k] for k in ("v", "v_scale", "b", "q", "a")
+                        if k in ex},
                        transfer_dtype)
         out = eval_step(params, _maybe_shard(db, mesh))
         logits = np.asarray(out["logits"])

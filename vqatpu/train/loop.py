@@ -30,7 +30,7 @@ from vqatpu.train.optim import lr_for_epoch
 from vqatpu.train.steps import (TrainState, make_train_state, make_train_step,
                                 wire_cast)
 
-_FFOE_KEYS = ("v", "b", "q", "a", "v_mask", "target", "t_logits")
+_FFOE_KEYS = ("v", "v_scale", "b", "q", "a", "v_mask", "target", "t_logits")
 
 
 def _device_batch(batch: dict, keys=_FFOE_KEYS,
@@ -45,7 +45,11 @@ def count_params(params) -> int:
 
 def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
     """Prefer the native C++ prefetch loader when available and the dataset
-    exposes a FeatureStore (FFOE/V7W); fall back to the Python loader."""
+    exposes a FeatureStore (FFOE/V7W); fall back to the Python loader.
+
+    With ``transfer_dtype="int8"`` the native loader quantizes on assembly
+    (v int8 + v_scale straight out of the store — the f32 slab never
+    exists); ``wire_cast`` passes the pre-quantized v through."""
     if (use_native and hasattr(dataset, "store") and hasattr(dataset, "entries")
             and getattr(dataset.store, "in_memory", True)):
         # streaming (out-of-core) stores can't hand raw pointers to the C++
@@ -55,7 +59,8 @@ def _make_loader(dataset, cfg: TrainConfig, use_native: bool):
             if native.available():
                 return native.NativeBatchLoader(
                     dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                    drop_last=True)
+                    drop_last=True,
+                    quantize=(cfg.transfer_dtype == "int8"))
         except Exception:
             pass
     # Python fallback (no native lib, streaming store, or MC expansion):
@@ -291,8 +296,10 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             # built ONCE — NativeBatchLoader construction does a
             # field-precompute pass + ring allocation worth reusing
             if eval_loader is None:
-                eval_loader = make_eval_loader(eval_ds, cfg.batch_size * 2,
-                                               use_native=use_native_loader)
+                eval_loader = make_eval_loader(
+                    eval_ds, cfg.batch_size * 2,
+                    use_native=use_native_loader,
+                    quantize=(cfg.transfer_dtype == "int8"))
             if multiproc and mesh is not None:
                 eval_score, bound = _evaluate_multiproc(
                     model, state.params, eval_loader, cfg, task, mesh)

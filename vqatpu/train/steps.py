@@ -144,7 +144,9 @@ def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
         return db
     if transfer_dtype == "int8":
         out = dict(db)
-        if "v" in db:
+        if "v" in db and "v_scale" not in db:
+            # already-quantized v (the native loader's quantize-on-assembly
+            # mode ships v int8 + v_scale) passes through untouched
             out["v"], out["v_scale"] = quantize_v(db["v"])
         if "b" in db:
             out["b"] = np.asarray(db["b"]).astype(np.float16)
