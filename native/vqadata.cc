@@ -37,6 +37,11 @@ struct Store {
   int64_t fixed_boxes;  // K when pos_boxes == nullptr
   int64_t v_dim;
   int64_t s_dim;
+  // int8-resident mode (FeatureStore.quantized): features live as q8 +
+  // per-box-row scales; `features` is nullptr.  f32 assembly dequantizes,
+  // q8 assembly memcpys (quantization is exactly idempotent).
+  const int8_t* features_q = nullptr;
+  const float* f_scales = nullptr;  // [total_boxes] / [N*K]
 };
 
 void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
@@ -58,8 +63,18 @@ void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
     float* b_row = out_b + i * max_boxes * s.s_dim;
     uint8_t* m_row = out_mask + i * max_boxes;
 
-    std::memcpy(v_row, s.features + start * s.v_dim,
-                count * s.v_dim * sizeof(float));
+    if (s.features_q != nullptr) {  // int8-resident store: dequantize
+      for (int64_t box = 0; box < count; ++box) {
+        const int8_t* src = s.features_q + (start + box) * s.v_dim;
+        const float sc = s.f_scales[start + box];
+        float* dst = v_row + box * s.v_dim;
+        for (int64_t k = 0; k < s.v_dim; ++k)
+          dst[k] = static_cast<float>(src[k]) * sc;
+      }
+    } else {
+      std::memcpy(v_row, s.features + start * s.v_dim,
+                  count * s.v_dim * sizeof(float));
+    }
     std::memset(v_row + count * s.v_dim, 0,
                 (max_boxes - count) * s.v_dim * sizeof(float));
     std::memcpy(b_row, s.spatials + start * s.s_dim,
@@ -96,19 +111,25 @@ void assemble_range_q8(const Store& s, const int64_t* image_idx, int64_t lo,
     float* b_row = out_b + i * max_boxes * s.s_dim;
     uint8_t* m_row = out_mask + i * max_boxes;
 
-    for (int64_t box = 0; box < count; ++box) {
-      const float* src = s.features + (start + box) * s.v_dim;
-      int8_t* dst = v_row + box * s.v_dim;
-      float amax = 0.0f;
-      for (int64_t k = 0; k < s.v_dim; ++k) {
-        const float a = std::fabs(src[k]);
-        if (a > amax) amax = a;
-      }
-      const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
-      sc_row[box] = sc;
-      const float inv = 1.0f / sc;
-      for (int64_t k = 0; k < s.v_dim; ++k) {
-        dst[k] = static_cast<int8_t>(std::lrintf(src[k] * inv));
+    if (s.features_q != nullptr) {
+      // int8-resident store: the rows ARE the wire bytes — pure memcpy
+      std::memcpy(v_row, s.features_q + start * s.v_dim, count * s.v_dim);
+      std::memcpy(sc_row, s.f_scales + start, count * sizeof(float));
+    } else {
+      for (int64_t box = 0; box < count; ++box) {
+        const float* src = s.features + (start + box) * s.v_dim;
+        int8_t* dst = v_row + box * s.v_dim;
+        float amax = 0.0f;
+        for (int64_t k = 0; k < s.v_dim; ++k) {
+          const float a = std::fabs(src[k]);
+          if (a > amax) amax = a;
+        }
+        const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
+        sc_row[box] = sc;
+        const float inv = 1.0f / sc;
+        for (int64_t k = 0; k < s.v_dim; ++k) {
+          dst[k] = static_cast<int8_t>(std::lrintf(src[k] * inv));
+        }
       }
     }
     std::memset(v_row + count * s.v_dim, 0,
@@ -248,6 +269,20 @@ void* vqadata_store_create(const float* features, const float* spatials,
                            int64_t fixed_boxes, int64_t v_dim, int64_t s_dim) {
   auto* s = new Store{features, spatials, pos_boxes, n_images, fixed_boxes,
                       v_dim, s_dim};
+  return s;
+}
+
+// int8-resident store (FeatureStore.quantized): features as q8 rows +
+// per-box-row dequantization scales.
+void* vqadata_store_create_q8(const int8_t* features_q, const float* f_scales,
+                              const float* spatials,
+                              const int64_t* pos_boxes, int64_t n_images,
+                              int64_t fixed_boxes, int64_t v_dim,
+                              int64_t s_dim) {
+  auto* s = new Store{nullptr, spatials, pos_boxes, n_images, fixed_boxes,
+                      v_dim, s_dim};
+  s->features_q = features_q;
+  s->f_scales = f_scales;
   return s;
 }
 

@@ -30,6 +30,9 @@ void vqadata_loader_register_slot_q8(void*, int8_t*, float*, float*, uint8_t*,
 void vqadata_loader_swap_vq8(void*, int64_t, int8_t*, float*, float*);
 void vqadata_assemble_q8(void*, const int64_t*, int64_t, int64_t, int8_t*,
                          float*, float*, uint8_t*, int64_t);
+void* vqadata_store_create_q8(const int8_t*, const float*, const float*,
+                              const int64_t*, int64_t, int64_t, int64_t,
+                              int64_t);
 }
 
 int main() {
@@ -234,6 +237,64 @@ int main() {
     assert(std::memcmp(qm_bufs[slot].data(), ref_m.data(), ref_m.size()) == 0);
   }
   vqadata_loader_destroy(qloader);
+
+  // int8-RESIDENT store (FeatureStore.quantized): quantize the raw rows
+  // host-side, register via store_create_q8, and check both assembly
+  // flavors: q8 assembly must memcpy the resident bytes verbatim, f32
+  // assembly must dequantize exactly (q * scale).
+  std::vector<int8_t> res_q(total * v_dim);
+  std::vector<float> res_s(total);
+  for (int64_t r = 0; r < total; ++r) {
+    float amax = 0.0f;
+    for (int64_t k = 0; k < v_dim; ++k)
+      amax = std::max(amax, std::abs(feats[r * v_dim + k]));
+    const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
+    res_s[r] = sc;
+    for (int64_t k = 0; k < v_dim; ++k)
+      res_q[r * v_dim + k] =
+          static_cast<int8_t>(std::lrint(feats[r * v_dim + k] / sc));
+  }
+  void* qstore = vqadata_store_create_q8(res_q.data(), res_s.data(),
+                                         spats.data(), pos.data(), n_images,
+                                         0, v_dim, s_dim);
+  // q8 assembly == resident bytes
+  std::vector<int8_t> rq_v(idx.size() * max_boxes * v_dim);
+  std::vector<float> rq_s(idx.size() * max_boxes);
+  std::vector<float> rq_b(idx.size() * max_boxes * s_dim);
+  std::vector<uint8_t> rq_m(idx.size() * max_boxes);
+  vqadata_assemble_q8(qstore, idx.data(), idx.size(), max_boxes, rq_v.data(),
+                      rq_s.data(), rq_b.data(), rq_m.data(), 2);
+  for (size_t r = 0; r < idx.size(); ++r) {
+    const int64_t start = pos[2 * idx[r]];
+    const int64_t count =
+        std::min<int64_t>(pos[2 * idx[r] + 1] - start, max_boxes);
+    assert(std::memcmp(rq_v.data() + r * max_boxes * v_dim,
+                       res_q.data() + start * v_dim, count * v_dim) == 0);
+    assert(std::memcmp(rq_s.data() + r * max_boxes, res_s.data() + start,
+                       count * sizeof(float)) == 0);
+    assert(std::memcmp(rq_m.data() + r * max_boxes,
+                       out_m.data() + r * max_boxes, max_boxes) == 0);
+  }
+  // f32 assembly == exact dequantization
+  std::vector<float> rf_v(idx.size() * max_boxes * v_dim);
+  std::vector<float> rf_b(idx.size() * max_boxes * s_dim);
+  std::vector<uint8_t> rf_m(idx.size() * max_boxes);
+  vqadata_assemble(qstore, idx.data(), idx.size(), max_boxes, rf_v.data(),
+                   rf_b.data(), rf_m.data(), 2);
+  for (size_t r = 0; r < idx.size(); ++r) {
+    const int64_t start = pos[2 * idx[r]];
+    const int64_t count =
+        std::min<int64_t>(pos[2 * idx[r] + 1] - start, max_boxes);
+    for (int64_t box = 0; box < count; ++box) {
+      for (int64_t k = 0; k < v_dim; ++k) {
+        const float want =
+            static_cast<float>(res_q[(start + box) * v_dim + k]) *
+            res_s[start + box];
+        assert(rf_v[(r * max_boxes + box) * v_dim + k] == want);
+      }
+    }
+  }
+  vqadata_store_destroy(qstore);
   vqadata_store_destroy(store);
   std::printf("vqadata_test: OK\n");
   return 0;

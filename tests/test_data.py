@@ -156,6 +156,49 @@ def test_streaming_feature_store(vqa_root):
     assert ds_str.store.in_memory  # closed => no live h5 handle
 
 
+def test_quantized_store_roundtrip(vqa_root):
+    """quantize_features=True keeps the resident features int8: every
+    sample's v must be exactly dequantize(quantize_v(f32 v)), b/mask
+    untouched — and re-quantizing the dequantized rows must recover the
+    resident (q, scale) BIT-FOR-BIT (idempotency: the int8 wire ships the
+    same bytes whether the store is quantized or not)."""
+    from vqatpu.train.steps import quantize_v
+
+    root, d = vqa_root
+    ds_f = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15)
+    ds_q = VQAFeatureDataset("train", d, dataroot=root, max_boxes=15,
+                             quantize_features=True)
+    assert ds_q.store.quantized and ds_q.store.features.dtype == np.int8
+    assert not ds_f.store.quantized
+    # 4x smaller resident features (+ scales at ~0.05%)
+    assert ds_q.store.features.nbytes * 4 == ds_f.store.features.nbytes
+    for i in (0, 3, len(ds_f) - 1):
+        a, b = ds_f.sample(i), ds_q.sample(i)
+        q, s = quantize_v(a["v"])
+        np.testing.assert_array_equal(b["v"], q.astype(np.float32)
+                                      * s[..., None])
+        for k in ("b", "v_mask", "q", "a", "target"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        # idempotency — bit-exact (the absmax element maps to ±127)
+        q2, s2 = quantize_v(b["v"])
+        np.testing.assert_array_equal(q2, q)
+        np.testing.assert_array_equal(s2, s)
+    # the chunked HDF5 load equals quantize() of the f32 resident store,
+    # including with a chunk size that forces many partial reads
+    st = ds_f.store.quantize()
+    np.testing.assert_array_equal(st.features, ds_q.store.features)
+    np.testing.assert_array_equal(st.feat_scales, ds_q.store.feat_scales)
+    import glob
+    import os
+
+    from vqatpu.data.features import FeatureStore
+    h5 = glob.glob(os.path.join(root, "train.hdf5"))[0]
+    tiny = FeatureStore.from_hdf5(h5, quantize=True,
+                                  quantize_chunk_bytes=4096)
+    np.testing.assert_array_equal(tiny.features, st.features)
+    np.testing.assert_array_equal(tiny.feat_scales, st.feat_scales)
+
+
 def test_zero_array_standin():
     """Lazy zero spatials for the V7W grid path under streaming stores."""
     from vqatpu.data.features import ZeroArray

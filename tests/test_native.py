@@ -206,6 +206,53 @@ def test_train_loop_int8_native_matches_python_wire(dataset, tmp_path):
     assert lines(out_n) == lines(out_p)
 
 
+def test_native_over_quantized_store(dataset):
+    """int8-resident store (FeatureStore.quantize / --quantize_store)
+    through the native runtime: f32 assembly dequantizes bit-identically to
+    the Python store.get, the q8 loader's bytes equal the q8 loader over
+    the ORIGINAL f32 store (quantization idempotency), and the f32 loader
+    over the quantized store equals the Python loader over it."""
+    import copy
+
+    qds = copy.copy(dataset)
+    qds.store = dataset.store.quantize()
+    assert qds.store.quantized
+
+    # 1. synchronous f32 assembly dequantizes exactly like Python
+    nstore = native.NativeFeatureStore(qds.store)
+    idx = np.asarray([e["image"] for e in qds.entries[:10]], np.int64)
+    v, b, mask = nstore.assemble(idx, max_boxes=16)
+    for i, image in enumerate(idx):
+        pv, pb, pm = qds.store.get(int(image), 16)
+        np.testing.assert_array_equal(v[i], pv)
+        np.testing.assert_array_equal(b[i], pb)
+        np.testing.assert_array_equal(mask[i], pm)
+
+    # 2. q8 loader bytes are the same from either store (idempotency:
+    #    re-quantizing q*s recovers (q, s) bit-for-bit)
+    nat_f = native.NativeBatchLoader(dataset, batch_size=16, shuffle=True,
+                                     seed=9, quantize=True)
+    nat_q = native.NativeBatchLoader(qds, batch_size=16, shuffle=True,
+                                     seed=9, quantize=True)
+    try:
+        for fb, qb in zip(nat_f, nat_q):
+            for k in fb:
+                np.testing.assert_array_equal(fb[k], qb[k], err_msg=k)
+    finally:
+        nat_f.close()
+        nat_q.close()
+
+    # 3. f32 loader over the quantized store equals the Python loader
+    py = BatchLoader(qds, batch_size=16, shuffle=False)
+    nat = native.NativeBatchLoader(qds, batch_size=16, shuffle=False)
+    try:
+        for pb, nb in zip(py, nat):
+            for k in pb:
+                np.testing.assert_array_equal(pb[k], nb[k], err_msg=k)
+    finally:
+        nat.close()
+
+
 def test_native_quantize_rows_matches_numpy():
     """The C++ vqadata_quantize_rows is bit-identical to the numpy
     quantize_v fallback (same absmax/127 scale, round-half-even), so the

@@ -82,6 +82,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "instead of loading the whole file into RAM "
                              "(low-memory hosts; disables the native "
                              "loader's zero-copy path)")
+    parser.add_argument("--quantize_store", action="store_true",
+                        default=False,
+                        help="keep the resident feature store int8 "
+                             "(per-box symmetric quantization, loaded "
+                             "chunk-wise — 4x less host RAM; composes "
+                             "with --transfer_dtype int8, whose wire "
+                             "bytes become pure memcpys)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
     parser.add_argument("--kernel_backend", type=str, default="xla",

@@ -35,7 +35,8 @@ def main(argv=None):
     ds_cls = TDIUCFeatureDataset if args.use_TDIUC else VQAFeatureDataset
     eval_dset = ds_cls(args.split, dictionary, dataroot=dataroot,
                        max_boxes=args.max_boxes, question_len=args.question_len,
-                       features_in_memory=not args.stream_features)
+                       features_in_memory=not args.stream_features,
+                       quantize_features=args.quantize_store)
 
     mcfg = model_config_from_args(args, eval_dset)
     model = build_model(mcfg)

@@ -45,20 +45,24 @@ def main(argv=None):
         train_dset = TDIUCFeatureDataset(
             "train", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
             question_len=args.question_len, distillation=args.distillation,
-            features_in_memory=not args.stream_features)
+            features_in_memory=not args.stream_features,
+            quantize_features=args.quantize_store)
         val_dset = TDIUCFeatureDataset(
             "val", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
             question_len=args.question_len,
-            features_in_memory=not args.stream_features)
+            features_in_memory=not args.stream_features,
+            quantize_features=args.quantize_store)
     else:
         train_dset = VQAFeatureDataset(
             "train", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
             question_len=args.question_len, distillation=args.distillation,
-            features_in_memory=not args.stream_features)
+            features_in_memory=not args.stream_features,
+            quantize_features=args.quantize_store)
         val_dset = VQAFeatureDataset(
             "val", dictionary, dataroot=dataroot, max_boxes=args.max_boxes,
             question_len=args.question_len,
-            features_in_memory=not args.stream_features)
+            features_in_memory=not args.stream_features,
+            quantize_features=args.quantize_store)
 
     mcfg = model_config_from_args(args, train_dset)
     tcfg = train_config_from_args(args, saving_epoch=9)

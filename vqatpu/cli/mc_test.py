@@ -34,7 +34,8 @@ def main(argv=None):
                            max_boxes=args.max_boxes,
                            question_len=args.question_len,
                            use_feature=args.use_feature,
-                           features_in_memory=not args.stream_features)
+                           features_in_memory=not args.stream_features,
+                           quantize_features=args.quantize_store)
 
     mcfg = model_config_from_args(args, eval_dset, task="mc")
     model = build_model(mcfg)

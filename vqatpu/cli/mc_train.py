@@ -40,12 +40,14 @@ def main(argv=None):
                             max_boxes=args.max_boxes,
                             question_len=args.question_len,
                             use_feature=args.use_feature,
-                            features_in_memory=not args.stream_features)
+                            features_in_memory=not args.stream_features,
+                            quantize_features=args.quantize_store)
     val_dset = V7WDataset("val", dictionary, dataroot=dataroot,
                           max_boxes=args.max_boxes,
                           question_len=args.question_len,
                           use_feature=args.use_feature,
-                          features_in_memory=not args.stream_features)
+                          features_in_memory=not args.stream_features,
+                          quantize_features=args.quantize_store)
 
     mcfg = model_config_from_args(args, train_dset, task="mc")
     tcfg = train_config_from_args(args, saving_epoch=0)  # MC/train.py:29

@@ -104,7 +104,8 @@ class _FeatureDatasetBase:
 
     def __init__(self, dataroot: str, name: str, dictionary: Dictionary,
                  max_boxes: int, adaptive: bool, fixed36_suffix: bool = True,
-                 features_in_memory: bool = True):
+                 features_in_memory: bool = True,
+                 quantize_features: bool = False):
         self.name = name
         self.dataroot = dataroot
         self.dictionary = dictionary
@@ -119,10 +120,15 @@ class _FeatureDatasetBase:
             # features_in_memory=False streams per-image slices from the open
             # HDF5 instead of the reference's whole-file read
             # (FFOE/dataset.py:282-287) — low-RAM hosts can train.
+            # quantize_features keeps the resident features int8 (4x RAM
+            # cut, loaded chunk-wise; see FeatureStore.from_hdf5)
             self.store = FeatureStore.from_hdf5(h5_path, adaptive=adaptive,
-                                                in_memory=features_in_memory)
+                                                in_memory=features_in_memory,
+                                                quantize=quantize_features)
         else:
             self.store = FeatureStore.from_npz(npz_path)
+            if quantize_features:
+                self.store = self.store.quantize()
         self.ans2label = _load_pickle(
             os.path.join(dataroot, "cache", "trainval_ans2label.pkl"))
         self.label2ans = _load_pickle(
@@ -156,10 +162,12 @@ class VQAFeatureDataset(_FeatureDatasetBase):
     def __init__(self, name: str, dictionary: Dictionary,
                  dataroot: str = "data_vqa", max_boxes: int = 50,
                  question_len: int = QUESTION_LEN, adaptive: bool = True,
-                 distillation: bool = False, features_in_memory: bool = True):
+                 distillation: bool = False, features_in_memory: bool = True,
+                 quantize_features: bool = False):
         assert name in ("train", "val", "test2015", "test-dev2015")
         super().__init__(dataroot, name, dictionary, max_boxes, adaptive,
-                         features_in_memory=features_in_memory)
+                         features_in_memory=features_in_memory,
+                         quantize_features=quantize_features)
         self.teacher_logits: Dict = {}
         if distillation:
             self.teacher_logits = _load_pickle(
@@ -201,10 +209,12 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
     def __init__(self, name: str, dictionary: Dictionary,
                  dataroot: str = "data_TDIUC", max_boxes: int = 50,
                  question_len: int = QUESTION_LEN, adaptive: bool = True,
-                 distillation: bool = False, features_in_memory: bool = True):
+                 distillation: bool = False, features_in_memory: bool = True,
+                 quantize_features: bool = False):
         assert name in ("train", "val")
         super().__init__(dataroot, name, dictionary, max_boxes, adaptive,
-                         features_in_memory=features_in_memory)
+                         features_in_memory=features_in_memory,
+                         quantize_features=quantize_features)
         self.teacher_logits: Dict = {}
         if distillation and name == "train":
             self.teacher_logits = _load_pickle(

@@ -16,6 +16,12 @@ TPU-first differences from the reference:
   ``from_hdf5(..., in_memory=False)`` instead keeps the HDF5 open and
   streams per-image slices on demand, so low-RAM hosts can train; the
   index-only ``pos_boxes`` table stays resident either way.
+- ``from_hdf5(..., quantize=True)`` keeps the resident features int8
+  (per-box symmetric quantization, the ``steps.quantize_v`` contract) —
+  a 4x host-RAM cut, loaded CHUNK-WISE so the f32 block never peaks in
+  RAM.  Quantization is exactly idempotent (re-quantizing ``q*s``
+  recovers ``(q, s)`` bit-for-bit), so the int8 H2D wire ships the same
+  bytes whether the store is quantized or not.
 """
 
 from __future__ import annotations
@@ -58,17 +64,46 @@ class ZeroArray:
         return np.zeros(self.shape, dtype or self.dtype)
 
 
+def _quantize_rows(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-minor-row symmetric int8 quantization (the ``steps.quantize_v``
+    contract: scale = absmax/127, all-zero rows scale 1, round-half-even).
+    C++ single-pass path when the native library builds, numpy fallback —
+    bit-identical either way (tests/test_native.py)."""
+    v = np.ascontiguousarray(v, np.float32)
+    try:
+        from vqatpu.data.native import quantize_rows
+
+        out = quantize_rows(v)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    amax = np.maximum(v.max(axis=-1), -v.min(axis=-1))
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.rint(v * (1.0 / scale)[..., None]).astype(np.int8)
+    return q, scale
+
+
 class FeatureStore:
     def __init__(self, features, spatials,
-                 pos_boxes: Optional[np.ndarray] = None, h5file=None):
+                 pos_boxes: Optional[np.ndarray] = None, h5file=None,
+                 feat_scales: Optional[np.ndarray] = None):
         self.features = features
         self.spatials = spatials
         self.pos_boxes = pos_boxes
         self._h5 = h5file
+        # int8-resident mode: per-box-row dequantization scales
+        # ([total_boxes] adaptive / [N, K] fixed); None for f32 stores
+        self.feat_scales = feat_scales
 
     @property
     def adaptive(self) -> bool:
         return self.pos_boxes is not None
+
+    @property
+    def quantized(self) -> bool:
+        """True when the resident features are int8 (+ ``feat_scales``)."""
+        return self.feat_scales is not None
 
     @property
     def in_memory(self) -> bool:
@@ -85,8 +120,28 @@ class FeatureStore:
 
     @classmethod
     def from_hdf5(cls, path: str, adaptive: bool = True,
-                  in_memory: bool = True) -> "FeatureStore":
+                  in_memory: bool = True, quantize: bool = False,
+                  quantize_chunk_bytes: int = 1 << 26) -> "FeatureStore":
         assert h5py is not None, "h5py unavailable"
+        if quantize:
+            # int8-resident load: quantize chunk-wise straight off the HDF5
+            # so peak RAM ≈ the int8 block + one chunk (the f32 features are
+            # never whole in memory — the 4x RAM cut applies at LOAD time)
+            assert in_memory, "quantize=True implies a resident store " \
+                              "(use in_memory=False alone to stream f32)"
+            with h5py.File(path, "r") as hf:
+                feats = hf["image_features"]
+                spatials = np.asarray(hf.get("spatial_features"))
+                pos_boxes = (np.asarray(hf.get("pos_boxes")) if adaptive
+                             else None)
+                q = np.empty(feats.shape, np.int8)
+                scales = np.empty(feats.shape[:-1], np.float32)
+                chunk = max(1, quantize_chunk_bytes // max(
+                    1, int(np.prod(feats.shape[1:])) * 4))  # ~64 MB f32
+                for lo in range(0, feats.shape[0], chunk):
+                    hi = min(feats.shape[0], lo + chunk)
+                    q[lo:hi], scales[lo:hi] = _quantize_rows(feats[lo:hi])
+            return cls(q, spatials, pos_boxes, feat_scales=scales)
         if in_memory:
             with h5py.File(path, "r") as hf:
                 features = np.asarray(hf.get("image_features"))
@@ -98,6 +153,17 @@ class FeatureStore:
         pos_boxes = np.asarray(hf.get("pos_boxes")) if adaptive else None
         return cls(hf["image_features"], hf["spatial_features"], pos_boxes,
                    h5file=hf)
+
+    def quantize(self) -> "FeatureStore":
+        """Return an int8-resident copy of an f32 in-memory store (no-op
+        when already quantized)."""
+        if self.quantized:
+            return self
+        assert self.in_memory, "quantize a streaming store via " \
+                               "from_hdf5(quantize=True)"
+        q, scales = _quantize_rows(np.asarray(self.features))
+        return FeatureStore(q, np.asarray(self.spatials), self.pos_boxes,
+                            feat_scales=scales)
 
     @classmethod
     def from_npz(cls, path: str) -> "FeatureStore":
@@ -128,9 +194,15 @@ class FeatureStore:
             e = min(int(e), int(s) + max_boxes)
             feats = self.features[int(s):e]
             spats = self.spatials[int(s):e]
+            if self.quantized:
+                feats = (feats.astype(np.float32)
+                         * self.feat_scales[int(s):e, None])
         else:
             feats = self.features[int(image_idx)][:max_boxes]
             spats = self.spatials[int(image_idx)][:max_boxes]
+            if self.quantized:
+                feats = (feats.astype(np.float32)
+                         * self.feat_scales[int(image_idx)][:max_boxes, None])
         n = feats.shape[0]
         out_f = np.zeros((max_boxes, feats.shape[1]), np.float32)
         out_s = np.zeros((max_boxes, spats.shape[1]), np.float32)

@@ -52,7 +52,8 @@ class V7WDataset:
                  dataroot: str = "data_v7w", max_boxes: int = 50,
                  question_len: int = MC_QUESTION_LEN, adaptive: bool = True,
                  use_feature: str = "bottom-up",
-                 features_in_memory: bool = True):
+                 features_in_memory: bool = True,
+                 quantize_features: bool = False):
         assert name in ("train", "val", "test")
         self.dictionary = dictionary
         self.max_boxes = max_boxes
@@ -80,14 +81,19 @@ class V7WDataset:
         if os.path.exists(feat_base + ".hdf5"):
             self.store = FeatureStore.from_hdf5(feat_base + ".hdf5",
                                                 adaptive=self.adaptive,
-                                                in_memory=features_in_memory)
+                                                in_memory=features_in_memory,
+                                                quantize=quantize_features)
         else:
             self.store = FeatureStore.from_npz(feat_base + ".npz")
+            if quantize_features:
+                self.store = self.store.quantize()
         if use_feature == "grid":
             # zero spatials by construction (MC/dataset.py:150-158); lazy
-            # stores get a zero *stand-in* rather than a features-sized block
+            # stores get a zero *stand-in* rather than a features-sized
+            # block (spatials stay f32 even over an int8-quantized store)
             self.store.spatials = (
-                np.zeros_like(self.store.features) if self.store.in_memory
+                np.zeros(self.store.features.shape, np.float32)
+                if self.store.in_memory
                 else ZeroArray(self.store.features.shape))
 
         self.entries = load_v7w_entries(dataroot, name, self.img_id2idx,

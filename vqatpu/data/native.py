@@ -73,6 +73,11 @@ def _load_library():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.vqadata_store_create_q8.restype = ctypes.c_void_p
+        lib.vqadata_store_create_q8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
     except AttributeError:
         pass
     _lib = lib
@@ -128,8 +133,16 @@ class NativeFeatureStore:
         lib = _load_library()
         assert lib is not None, "libvqadata.so unavailable"
         self._lib = lib
+        self.quantized = bool(getattr(store, "quantized", False))
         # keep references so the arrays outlive the C handle
-        self.features = np.ascontiguousarray(store.features, np.float32)
+        if self.quantized:
+            assert hasattr(lib, "vqadata_store_create_q8"), \
+                "stale libvqadata.so: rebuild with `make -C native`"
+            self.features = np.ascontiguousarray(store.features, np.int8)
+            self.feat_scales = np.ascontiguousarray(
+                store.feat_scales, np.float32).reshape(-1)
+        else:
+            self.features = np.ascontiguousarray(store.features, np.float32)
         self.spatials = np.ascontiguousarray(store.spatials, np.float32)
         self.adaptive = store.adaptive
         if self.adaptive:
@@ -146,9 +159,15 @@ class NativeFeatureStore:
             fixed = self.features.shape[1]
             self.v_dim = self.features.shape[2]
             self.s_dim = self.spatials.shape[2]
-        self._handle = lib.vqadata_store_create(
-            _ptr(self.features), _ptr(self.spatials), pos_ptr,
-            n_images, fixed, self.v_dim, self.s_dim)
+        if self.quantized:
+            self._handle = lib.vqadata_store_create_q8(
+                _ptr(self.features), _ptr(self.feat_scales),
+                _ptr(self.spatials), pos_ptr, n_images, fixed, self.v_dim,
+                self.s_dim)
+        else:
+            self._handle = lib.vqadata_store_create(
+                _ptr(self.features), _ptr(self.spatials), pos_ptr,
+                n_images, fixed, self.v_dim, self.s_dim)
 
     def assemble(self, image_idx: np.ndarray, max_boxes: int,
                  num_threads: int = 8):
