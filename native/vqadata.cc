@@ -44,6 +44,36 @@ struct Store {
   const float* f_scales = nullptr;  // [total_boxes] / [N*K]
 };
 
+// One box row -> int8 + scale (the quantize_v contract: scale = absmax/127,
+// all-zero rows scale 1, ROUND-HALF-EVEN — bit-identical to np.rint).
+// Rounding uses the magic-number trick (adding 1.5*2^23 makes the FPU's
+// nearest-even rounding materialize the integer in the low mantissa bits):
+// a plain float add + int subtract, so -O3 auto-vectorizes the loop where
+// the previous std::lrintf call compiled to a scalar libm call per element
+// (~15x slower at v_dim 2048 — scripts/ab_store_quant.py).
+inline void quantize_row(const float* src, int64_t d, int8_t* dst,
+                         float* scale_out) {
+  float amax = 0.0f;
+  for (int64_t k = 0; k < d; ++k) {
+    // max-reduction form (not if-update) so -O3 vectorizes it
+    amax = std::max(amax, std::fabs(src[k]));
+  }
+  const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
+  *scale_out = sc;
+  const float inv = 1.0f / sc;
+  constexpr float kMagic = 12582912.0f;  // 1.5 * 2^23; ulp = 1 around it
+  int32_t magic_bits;
+  std::memcpy(&magic_bits, &kMagic, 4);
+  for (int64_t k = 0; k < d; ++k) {
+    // src[k]*inv ∈ [-127, 127], so y stays in [2^23, 2^24) where
+    // consecutive integers have consecutive bit patterns
+    const float y = src[k] * inv + kMagic;
+    int32_t bits;
+    std::memcpy(&bits, &y, 4);
+    dst[k] = static_cast<int8_t>(bits - magic_bits);
+  }
+}
+
 void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
                     int64_t hi, int64_t max_boxes, float* out_v, float* out_b,
                     uint8_t* out_mask) {
@@ -117,19 +147,8 @@ void assemble_range_q8(const Store& s, const int64_t* image_idx, int64_t lo,
       std::memcpy(sc_row, s.f_scales + start, count * sizeof(float));
     } else {
       for (int64_t box = 0; box < count; ++box) {
-        const float* src = s.features + (start + box) * s.v_dim;
-        int8_t* dst = v_row + box * s.v_dim;
-        float amax = 0.0f;
-        for (int64_t k = 0; k < s.v_dim; ++k) {
-          const float a = std::fabs(src[k]);
-          if (a > amax) amax = a;
-        }
-        const float sc = amax > 0.0f ? amax / 127.0f : 1.0f;
-        sc_row[box] = sc;
-        const float inv = 1.0f / sc;
-        for (int64_t k = 0; k < s.v_dim; ++k) {
-          dst[k] = static_cast<int8_t>(std::lrintf(src[k] * inv));
-        }
+        quantize_row(s.features + (start + box) * s.v_dim, s.v_dim,
+                     v_row + box * s.v_dim, sc_row + box);
       }
     }
     std::memset(v_row + count * s.v_dim, 0,
@@ -464,19 +483,7 @@ void vqadata_quantize_rows(const float* v, int64_t rows, int64_t d,
                            int8_t* q, float* scale, int64_t num_threads) {
   auto quant_range = [=](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; ++r) {
-      const float* row = v + r * d;
-      float amax = 0.0f;
-      for (int64_t i = 0; i < d; ++i) {
-        const float a = std::fabs(row[i]);
-        if (a > amax) amax = a;
-      }
-      const float s = amax > 0.0f ? amax / 127.0f : 1.0f;
-      scale[r] = s;
-      const float inv = 1.0f / s;
-      int8_t* out = q + r * d;
-      for (int64_t i = 0; i < d; ++i) {
-        out[i] = static_cast<int8_t>(std::lrintf(row[i] * inv));
-      }
+      quantize_row(v + r * d, d, q + r * d, scale + r);
     }
   };
   if (num_threads <= 1 || rows < 64) {

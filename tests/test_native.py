@@ -273,3 +273,13 @@ def test_native_quantize_rows_matches_numpy():
     np.testing.assert_array_equal(sn, sp)
     np.testing.assert_array_equal(qn, qp)
     assert sn[2, 1] == 1.0 and not qn[2, 1].any()
+
+    # exact half-way ties must round HALF-EVEN like np.rint (the C++ uses
+    # the magic-number trick riding the FPU's nearest-even mode): with
+    # absmax 254 the scale is exactly 2.0, so these values hit q = ±k.5
+    ties = np.array([[1.0, 3.0, 5.0, -1.0, -3.0, -5.0, 254.0, 0.0]],
+                    np.float32)
+    qt, st = native.quantize_rows(ties)
+    assert st[0] == 2.0
+    np.testing.assert_array_equal(
+        qt[0], np.array([0, 2, 2, 0, -2, -2, 127, 0], np.int8))
