@@ -170,6 +170,42 @@ def test_data_parallel_mesh_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_data_parallel_mesh_int8_wire(rng):
+    """The int8 wire composes with the data mesh: a host-quantized batch
+    (v int8 + v_scale side tensor) sharded over 8 devices steps identically
+    to the same wire batch unsharded — v_scale shards on its leading axis
+    like every other tensor."""
+    from vqatpu.train.steps import wire_cast
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg(model="cti")
+    m = build_model(cfg)
+    step = make_train_step(m, TrainConfig(update_freq=1))
+
+    B = 8
+    batch = wire_cast({
+        "v": rng.randn(B, 8, 32).astype(np.float32) * 3,
+        "b": rng.rand(B, 8, 6).astype(np.float32),
+        "q": rng.randint(0, 51, (B, 12)),
+        "a": rng.randint(0, 51, (B, 3)),
+        "target": rng.rand(B, cfg.num_ans_candidates).astype(np.float32),
+    }, "int8")
+    assert batch["v"].dtype == np.int8 and "v_scale" in batch
+
+    s1 = make_train_state(m, jax.random.PRNGKey(0))
+    s1, m1 = step(s1, batch, jnp.float32(1e-3), jax.random.PRNGKey(9))
+
+    mesh = make_mesh()
+    s2 = make_train_state(m, jax.random.PRNGKey(0))
+    s2 = TrainState(*[replicate(x, mesh) for x in s2])
+    s2, m2 = step(s2, shard_batch(batch, mesh), jnp.float32(1e-3),
+                  jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
     cfg = tiny_cfg(model="ban")
     m = build_model(cfg)
