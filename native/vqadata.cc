@@ -66,8 +66,12 @@ inline void quantize_row(const float* src, int64_t d, int8_t* dst,
   std::memcpy(&magic_bits, &kMagic, 4);
   for (int64_t k = 0; k < d; ++k) {
     // src[k]*inv ∈ [-127, 127], so y stays in [2^23, 2^24) where
-    // consecutive integers have consecutive bit patterns
-    const float y = src[k] * inv + kMagic;
+    // consecutive integers have consecutive bit patterns.  The product
+    // MUST round to f32 before the magic add (an FMA keeps the exact
+    // product and flips tie-adjacent roundings vs np.rint) — the build
+    // compiles with -ffp-contract=off to guarantee it.
+    const float p = src[k] * inv;
+    const float y = p + kMagic;
     int32_t bits;
     std::memcpy(&bits, &y, 4);
     dst[k] = static_cast<int8_t>(bits - magic_bits);

@@ -283,3 +283,22 @@ def test_native_quantize_rows_matches_numpy():
     assert st[0] == 2.0
     np.testing.assert_array_equal(
         qt[0], np.array([0, 2, 2, 0, -2, -2, 127, 0], np.int8))
+
+
+def test_native_quantize_rows_no_fma_divergence():
+    """Brute-force tie hunt: ~4M random elements whose products land near
+    .5 boundaries at ~ppm rates.  An FMA-contracted magic-number rounding
+    (product kept at infinite precision through the add) diverges from
+    np.rint on such elements — the build compiles with -ffp-contract=off
+    precisely to prevent that; this test would catch a regressed build."""
+    rng = np.random.RandomState(123)
+    v = (rng.randn(2048, 41, 50).astype(np.float32)
+         * rng.rand(2048, 41, 1).astype(np.float32) * 30)
+    out = native.quantize_rows(v)
+    assert out is not None
+    qn, sn = out
+    sp = np.where(np.abs(v).max(-1) > 0,
+                  np.abs(v).max(-1) / 127.0, 1.0).astype(np.float32)
+    qp = np.rint(v * (1.0 / sp)[..., None]).astype(np.int8)
+    np.testing.assert_array_equal(sn, sp)
+    np.testing.assert_array_equal(qn, qp)

@@ -133,6 +133,17 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="blockwise attention+pool over V blocks (0=off)")
 
 
+def validate_args(args) -> None:
+    """Early cross-flag validation (call right after parse_args): reject
+    combinations that would otherwise fail deep inside dataset setup."""
+    if getattr(args, "quantize_store", False) and \
+            getattr(args, "stream_features", False):
+        raise SystemExit(
+            "error: --quantize_store and --stream_features are mutually "
+            "exclusive (--quantize_store IS the low-RAM mode: int8-resident "
+            "features, 4x less RAM than f32)")
+
+
 def maybe_init_distributed(args) -> None:
     """Join the jax.distributed rendezvous when multi-host flags are given.
     Must run before any other jax device use (so the train CLIs call it

@@ -8,7 +8,7 @@ import os
 
 import jax
 
-from vqatpu.cli.common import add_common_args, model_config_from_args
+from vqatpu.cli.common import add_common_args, model_config_from_args, validate_args
 from vqatpu.data import Dictionary, TDIUCFeatureDataset, VQAFeatureDataset, make_eval_loader
 from vqatpu.eval import export_results, get_logits
 from vqatpu.models import build_model
@@ -30,6 +30,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    validate_args(args)
     dataroot = args.TDIUC_dir if args.use_TDIUC else args.dataroot
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))
     ds_cls = TDIUCFeatureDataset if args.use_TDIUC else VQAFeatureDataset

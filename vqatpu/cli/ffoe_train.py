@@ -15,6 +15,7 @@ from vqatpu.cli.common import (
     maybe_init_distributed,
     model_config_from_args,
     train_config_from_args,
+    validate_args,
 )
 from vqatpu.data import (
     ConcatDataset,
@@ -38,6 +39,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    validate_args(args)
     maybe_init_distributed(args)
     dataroot = args.TDIUC_dir if args.use_TDIUC else args.dataroot
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))

@@ -8,7 +8,7 @@ import os
 
 import jax
 
-from vqatpu.cli.common import add_common_args, model_config_from_args
+from vqatpu.cli.common import add_common_args, model_config_from_args, validate_args
 from vqatpu.data import Dictionary, V7WDataset, make_eval_loader
 from vqatpu.eval import evaluate_mc
 from vqatpu.models import build_model
@@ -28,6 +28,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    validate_args(args)
     dictionary = Dictionary.load_from_file(
         os.path.join(args.dataroot, "dictionary.pkl"))
     eval_dset = V7WDataset(args.split, dictionary, dataroot=args.dataroot,

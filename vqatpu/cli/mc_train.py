@@ -12,6 +12,7 @@ from vqatpu.cli.common import (
     maybe_init_distributed,
     model_config_from_args,
     train_config_from_args,
+    validate_args,
 )
 from vqatpu.data import Dictionary, V7WDataset
 from vqatpu.data.tfidf import tfidf_loading
@@ -33,6 +34,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    validate_args(args)
     maybe_init_distributed(args)
     dataroot = args.dataroot
     dictionary = Dictionary.load_from_file(os.path.join(dataroot, "dictionary.pkl"))

@@ -65,23 +65,12 @@ class ZeroArray:
 
 
 def _quantize_rows(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-minor-row symmetric int8 quantization (the ``steps.quantize_v``
-    contract: scale = absmax/127, all-zero rows scale 1, round-half-even).
-    C++ single-pass path when the native library builds, numpy fallback —
-    bit-identical either way (tests/test_native.py)."""
-    v = np.ascontiguousarray(v, np.float32)
-    try:
-        from vqatpu.data.native import quantize_rows
+    """Per-minor-row symmetric int8 quantization — delegates to the single
+    canonical host quantizer (``native.quantize_rows_any``; C++ when the
+    library builds, bit-identical numpy fallback otherwise)."""
+    from vqatpu.data.native import quantize_rows_any
 
-        out = quantize_rows(v)
-        if out is not None:
-            return out
-    except Exception:
-        pass
-    amax = np.maximum(v.max(axis=-1), -v.min(axis=-1))
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.rint(v * (1.0 / scale)[..., None]).astype(np.int8)
-    return q, scale
+    return quantize_rows_any(v)
 
 
 class FeatureStore:
@@ -127,8 +116,11 @@ class FeatureStore:
             # int8-resident load: quantize chunk-wise straight off the HDF5
             # so peak RAM ≈ the int8 block + one chunk (the f32 features are
             # never whole in memory — the 4x RAM cut applies at LOAD time)
-            assert in_memory, "quantize=True implies a resident store " \
-                              "(use in_memory=False alone to stream f32)"
+            if not in_memory:
+                raise ValueError(
+                    "quantize=True requires a resident store — drop "
+                    "--stream_features (--quantize_store IS the low-RAM "
+                    "mode: int8-resident features, 4x less RAM)")
             with h5py.File(path, "r") as hf:
                 feats = hf["image_features"]
                 spatials = np.asarray(hf.get("spatial_features"))
@@ -159,8 +151,9 @@ class FeatureStore:
         when already quantized)."""
         if self.quantized:
             return self
-        assert self.in_memory, "quantize a streaming store via " \
-                               "from_hdf5(quantize=True)"
+        if not self.in_memory:
+            raise ValueError("quantize a streaming store via "
+                             "from_hdf5(quantize=True)")
         q, scales = _quantize_rows(np.asarray(self.features))
         return FeatureStore(q, np.asarray(self.spatials), self.pos_boxes,
                             feat_scales=scales)

@@ -107,6 +107,26 @@ def quantize_rows(v: np.ndarray, num_threads: int = 2):
     return q, scale
 
 
+def quantize_rows_any(v: np.ndarray):
+    """THE host-side per-row int8 quantizer (scale = absmax/127, all-zero
+    rows scale 1, round-half-even): C++ single-pass when the library
+    builds, bit-identical numpy fallback otherwise.  Every host quantize
+    site (steps.quantize_v, FeatureStore.quantize, serve) delegates here —
+    one implementation, one contract."""
+    v = np.asarray(v, np.float32)
+    try:
+        out = quantize_rows(v)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    # numpy fallback: max/-min reductions avoid the full-size |v| temp
+    amax = np.maximum(v.max(axis=-1), -v.min(axis=-1))
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.rint(v * (1.0 / scale)[..., None]).astype(np.int8)
+    return q, scale
+
+
 def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
@@ -232,6 +252,11 @@ class NativeBatchLoader:
         self._fields: Dict[str, np.ndarray] = {
             key: np.stack([r[key] for r in rows], 0) for key in rows[0]}
 
+        if quantize:
+            # checked BEFORE loader_create: failing after it would leak the
+            # C Loader and its (parked) worker thread on every fallback
+            assert hasattr(lib, "vqadata_loader_set_quantize"), \
+                "stale libvqadata.so: rebuild with `make -C native`"
         self._handle = lib.vqadata_loader_create(
             self.store._handle, _ptr(self._row_to_image), n, batch_size,
             self.max_boxes, int(drop_last), assemble_threads)
@@ -240,8 +265,6 @@ class NativeBatchLoader:
             # worker quantizes each box row straight out of the store
             # (steps.quantize_v contract) — 4x fewer bytes written than f32
             # assembly, and the f32 slab is never materialized.
-            assert hasattr(lib, "vqadata_loader_set_quantize"), \
-                "stale libvqadata.so: rebuild with `make -C native`"
             lib.vqadata_loader_set_quantize(self._handle, 1)
         # Zero-copy ring with OWNERSHIP ROTATION: the worker assembles
         # straight into registered numpy buffers, and a yielded batch keeps

@@ -116,20 +116,9 @@ def quantize_v(v: np.ndarray):
     rint(v/scale)`` int8.  All-zero rows (box padding) get scale 1 and stay
     exactly zero.  Max per-element error is ``row_absmax/254`` (~0.4% of
     the row peak) — the wire-accuracy trade for a 4x H2D byte cut."""
-    v = np.asarray(v, np.float32)
-    try:  # single-pass C++ path (~8x on the bench host; see native.py)
-        from vqatpu.data.native import quantize_rows
+    from vqatpu.data.native import quantize_rows_any
 
-        out = quantize_rows(v)
-        if out is not None:
-            return out
-    except Exception:
-        pass
-    # numpy fallback: max/-min reductions avoid the full-size |v| temp
-    amax = np.maximum(v.max(axis=-1), -v.min(axis=-1))
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.rint(v * (1.0 / scale)[..., None]).astype(np.int8)
-    return q, scale
+    return quantize_rows_any(v)
 
 
 def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
