@@ -34,6 +34,9 @@ CONFIGS = {
     # FLOPs): bf16 activations win ~27% here where CTI measures even
     # (scripts/ab_ban_dtype.py, PROFILE.md r3)
     "ban_256_bf16": dict(model="ban", B=256, compute_dtype="bfloat16"),
+    # int8 wire: v resident as int8+scale, dequant fused into consumers —
+    # wins ON-CHIP as well as on the wire (scripts/ab_wire_device.py)
+    "cti_256_int8": dict(model="cti", B=256, wire="int8"),
     "cti_1024": dict(model="cti", B=1024),
     # MC TanModel at the reference batch 64, x4 candidate expansion
     # (MC/train.py:74-83) => 256 device rows
@@ -57,6 +60,7 @@ def make(name):
     spec = dict(CONFIGS[name])
     B = spec.pop("B")
     compute_dtype = spec.pop("compute_dtype", "float32")
+    wire = spec.pop("wire", "float32")
     V, Q = 50, 12
     A = 6 if spec.get("task") == "mc" else 3
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
@@ -75,6 +79,12 @@ def make(name):
         batch["a"] = jnp.asarray(rng.randint(0, 20000, (B, A)).astype(np.int32))
     if spec.get("use_counter"):
         batch["b"] = jnp.asarray(rng.rand(B, V, 6).astype(np.float32))
+    if wire != "float32":
+        from vqatpu.train.steps import wire_cast
+
+        batch = {k: jnp.asarray(x) for k, x in
+                 wire_cast({k: np.asarray(x) for k, x in batch.items()},
+                           wire).items()}
     state = make_train_state(model, jax.random.PRNGKey(0))
     step = make_train_step(model, TrainConfig(update_freq=1, batch_size=B,
                                               compute_dtype=compute_dtype),
