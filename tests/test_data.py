@@ -132,6 +132,23 @@ def test_v7w_dataset_and_expansion(tmp_path):
     # [a, 1-a] structure
     np.testing.assert_allclose(ex["target"].sum(1), np.ones(32))
 
+    # quantize_features on the MC dataset: int8-resident store, samples
+    # dequantize to the quantize_v roundtrip of the f32 samples; the int8
+    # wire's v_scale tiles through the x4 expansion alongside its v
+    from vqatpu.train.steps import quantize_v, wire_cast
+
+    dq = V7WDataset("train", d, dataroot=root, max_boxes=15,
+                    quantize_features=True)
+    assert dq.store.quantized
+    a, b = ds.sample(0), dq.sample(0)
+    q, s = quantize_v(a["v"])
+    np.testing.assert_array_equal(b["v"], q.astype(np.float32)
+                                  * s[..., None])
+    wired = wire_cast(dict(batch), "int8")
+    exw = expand_mc_batch(wired)
+    assert exw["v"].dtype == np.int8 and exw["v_scale"].shape == (32, 15)
+    np.testing.assert_array_equal(exw["v_scale"][0], exw["v_scale"][3])
+
 
 def test_streaming_feature_store(vqa_root):
     """features_in_memory=False streams per-image HDF5 slices; every sample
