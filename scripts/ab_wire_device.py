@@ -14,7 +14,12 @@ int8 wire is therefore a DOUBLE win on transfer-bound hosts: −75% H2D
 bytes AND a faster step.  Loss parity: 2254.9651 (f32) vs 2254.9641
 (int8) — input-quantization-level only.
 
+Stretch regime (AB_B=64 AB_V=2048, v = 1 GB f32): **−17..−18.5 ms/step
+(92 vs 109 ms, −16%, 4/4 reps)** — the win scales with v's share of the
+step's HBM traffic, exactly as the fusion story predicts.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_wire_device.py
+     (AB_B / AB_V env vars override the batch/box dims)
 """
 
 import os
@@ -32,7 +37,9 @@ from vqatpu.config import ModelConfig, TrainConfig
 from vqatpu.models import build_model
 from vqatpu.train.steps import make_train_state, make_train_step, wire_cast
 
-B, V, QL, AL = 256, 50, 12, 3
+B = int(os.environ.get("AB_B", 256))
+V = int(os.environ.get("AB_V", 50))
+QL, AL = 12, 3
 
 
 def main():
