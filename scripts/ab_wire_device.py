@@ -6,17 +6,21 @@ Both batches are device_put BEFORE timing, so this isolates the on-chip
 cost: does `_upcast_wire`'s dequantization cost HBM traffic, or does
 storing v 4x smaller WIN on read bandwidth?
 
-Measured (v5e-lite tunnel, B=256/V=50/2048-d, reps interleaved,
-value-readback barrier): **int8 wins every rep, −1.6..−3.3 ms/step**
-(19.2 vs 20.8-22.5 ms) — XLA fuses convert+scale into v's consumers, so
-the dequant is free while every read of v moves 4x fewer HBM bytes.  The
+Measured (v5e-lite tunnel, B=256/V=50/2048-d, reps interleaved, readback
+barriers draining the warmup queue before t0 AND after the timed loop —
+an earlier version skipped the pre-t0 drain and read ~2x high): **int8
+wins every rep, −1.3..−1.5 ms/step (11.2 vs 12.6-12.7 ms, −11%)** — XLA
+fuses convert+scale into v's consumers, so the dequant is free while
+every read of v moves 4x fewer HBM bytes.  Matches the independently
+measured BENCH_MATRIX row (cti_256_int8 10.83 vs cti_256 12.30 ms).  The
 int8 wire is therefore a DOUBLE win on transfer-bound hosts: −75% H2D
 bytes AND a faster step.  Loss parity: 2254.9651 (f32) vs 2254.9641
 (int8) — input-quantization-level only.
 
-Stretch regime (AB_B=64 AB_V=2048, v = 1 GB f32): **−17..−18.5 ms/step
-(92 vs 109 ms, −16%, 4/4 reps)** — the win scales with v's share of the
-step's HBM traffic, exactly as the fusion story predicts.
+Stretch regime (AB_B=64 AB_V=2048, v = 1 GB f32): **−8.5..−9.0 ms/step
+(47.8-48.0 vs 56.4-56.8 ms, −15.5%, 4/4 reps)** — the win scales with
+v's share of the step's HBM traffic, exactly as the fusion story
+predicts.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_wire_device.py
      (AB_B / AB_V env vars override the batch/box dims)
@@ -66,6 +70,11 @@ def main():
         mtr = None
         for _ in range(iters):
             state, mtr = step(state, b, lr, key, False)
+        # drain the warmup queue BEFORE t0 — on this tunnel dispatch
+        # returns long before execution, so without this readback the
+        # timed window absorbs the warmup steps and reads ~2x high
+        # (caught in review; CLAUDE.md's readback-barrier rule)
+        float(np.asarray(mtr["loss"]))
         t0 = time.perf_counter()
         for _ in range(iters):
             state, mtr = step(state, b, lr, key, False)

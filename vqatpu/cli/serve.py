@@ -126,7 +126,7 @@ def serve_in_thread(session, dictionary, model_name: str, port: int,
 
 
 def main(argv=None):
-    from vqatpu.cli.common import add_common_args
+    from vqatpu.cli.common import add_common_args, validate_args
 
     parser = argparse.ArgumentParser()
     add_common_args(parser)
@@ -134,8 +134,12 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8399)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--v_dim", type=int, default=2048)
-    # --transfer_dtype comes from add_common_args (shared with train/test)
+    # --transfer_dtype comes from add_common_args (shared with train/test);
+    # the store flags (--quantize_store/--stream_features) are inert here —
+    # serving takes features per request, not from a resident store — but
+    # the cross-flag validation stays consistent with the other CLIs
     args = parser.parse_args(argv)
+    validate_args(args)
 
     session, dictionary = build_session(args)
     server = make_server(session, dictionary, args.model, args.port, args.host)
