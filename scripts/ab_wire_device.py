@@ -1,6 +1,11 @@
 """Interleaved DEVICE-side A/B: the CTI train step on an f32 batch vs the
-same batch through the int8 wire (v int8 + v_scale resident in HBM, dequant
-inside the jitted step).
+same batch through the f16 and int8 wires (v resident in HBM at reduced
+width; upcast/dequant inside the jitted step).
+
+3-way ladder at B=256/V=50 (same session, 4/4 reps monotone):
+f32 12.7-12.9 / f16 12.0-12.1 / int8 11.2-11.3 ms — the on-chip win
+tracks v's byte width (XLA fuses the upcast into consumers for every
+wire dtype), so each halving of the wire buys both H2D and HBM.
 
 Both batches are device_put BEFORE timing, so this isolates the on-chip
 cost: does `_upcast_wire`'s dequantization cost HBM traffic, or does
@@ -59,10 +64,16 @@ def main():
         "a": rng.randint(0, 20000, (B, AL)),
         "target": rng.rand(B, 3129).astype(np.float32),
     }
-    batch_q = wire_cast(dict(batch_f), "int8")
     dev = jax.devices()[0]
-    bf = {k: jax.device_put(jnp.asarray(v), dev) for k, v in batch_f.items()}
-    bq = {k: jax.device_put(jnp.asarray(v), dev) for k, v in batch_q.items()}
+
+    def put(b):
+        return {k: jax.device_put(jnp.asarray(x), dev) for k, x in b.items()}
+
+    batches = {
+        "f32": put(batch_f),
+        "f16": put(wire_cast(dict(batch_f), "float16")),
+        "int8": put(wire_cast(dict(batch_f), "int8")),
+    }
     key = jax.random.PRNGKey(1)
     lr = jnp.float32(1e-3)
 
@@ -82,22 +93,22 @@ def main():
         return (time.perf_counter() - t0) / iters * 1e3, state
 
     # loss parity check (fresh states; step donates its state argument)
-    _, mt1 = step(make_train_state(m, jax.random.PRNGKey(0)), bf, lr, key,
-                  False)
-    _, mt2 = step(make_train_state(m, jax.random.PRNGKey(0)), bq, lr, key,
-                  False)
-    print("loss f32", float(np.asarray(mt1["loss"])),
-          "int8", float(np.asarray(mt2["loss"])))
+    losses = []
+    for name, b in batches.items():
+        _, mt = step(make_train_state(m, jax.random.PRNGKey(0)), b, lr, key,
+                     False)
+        losses.append(f"{name} {float(np.asarray(mt['loss']))}")
+    print("loss:", "  ".join(losses))
 
-    sf = make_train_state(m, jax.random.PRNGKey(0))
-    sq = make_train_state(m, jax.random.PRNGKey(0))
-    _, sf = run(bf, sf, 5)
-    _, sq = run(bq, sq, 5)  # compile both
+    states = {n: make_train_state(m, jax.random.PRNGKey(0)) for n in batches}
+    for n, b in batches.items():  # compile all variants
+        _, states[n] = run(b, states[n], 5)
     for rep in range(4):
-        tf, sf = run(bf, sf)
-        tq, sq = run(bq, sq)
-        print(f"rep{rep}  f32 {tf:6.2f} ms   int8-wire {tq:6.2f} ms   "
-              f"delta {tq - tf:+.2f}")
+        line = [f"rep{rep}"]
+        for n, b in batches.items():
+            t, states[n] = run(b, states[n])
+            line.append(f"{n} {t:6.2f} ms")
+        print("  ".join(line))
 
 
 if __name__ == "__main__":
