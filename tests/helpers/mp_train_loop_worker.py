@@ -2,7 +2,7 @@
 2-process `vqatpu.train.loop.train()` run over 2 epochs on a deterministic
 synthetic dataset (CPU + gloo standing in for pod hosts).
 
-argv: process_id num_processes coordinator_port outdir
+argv: process_id num_processes coordinator_port outdir [transfer_dtype]
 
 Process 0 writes `outdir/log.txt` and the pickle checkpoints through the
 normal loop policy; both processes print "PSUM <value>" (a replicated
@@ -19,6 +19,7 @@ from vqatpu.parallel.distributed import init_distributed
 
 pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
                             sys.argv[4])
+wire = sys.argv[5] if len(sys.argv) > 5 else "float32"
 init_distributed(f"127.0.0.1:{port}", nproc, pid, cpu_gloo=True)
 
 import jax
@@ -33,7 +34,7 @@ from vqatpu.train.loop import train
 cfg = ModelConfig(ntoken=50, v_dim=16, num_ans_candidates=11, model="cti",
                   num_hid=16, h_mm=8, rank=2, gamma=2)
 tcfg = TrainConfig(epochs=2, batch_size=8, update_freq=2, saving_epoch=0,
-                   seed=1204)
+                   seed=1204, transfer_dtype=wire)
 model = build_model(cfg)
 train_ds = SynthVQADataset(32, seed=5)
 eval_ds = SynthVQADataset(16, seed=6)

@@ -106,7 +106,7 @@ def test_two_process_train_step_matches_single(tmp_path):
 LOOP_WORKER = os.path.join(REPO, "tests", "helpers", "mp_train_loop_worker.py")
 
 
-def _single_process_epochs(tmp_path):
+def _single_process_epochs(tmp_path, wire="float32"):
     """Same 2-epoch train() as the workers, single process (8 virtual CPU
     devices)."""
     sys.path.insert(0, os.path.join(REPO, "tests", "helpers"))
@@ -117,7 +117,7 @@ def _single_process_epochs(tmp_path):
     cfg = ModelConfig(ntoken=50, v_dim=16, num_ans_candidates=11, model="cti",
                       num_hid=16, h_mm=8, rank=2, gamma=2)
     tcfg = TrainConfig(epochs=2, batch_size=8, update_freq=2, saving_epoch=0,
-                       seed=1204)
+                       seed=1204, transfer_dtype=wire)
     model = build_model(cfg)
     out = str(tmp_path / "single")
     state = train(model, SynthVQADataset(32, seed=5),
@@ -139,11 +139,17 @@ def _epoch_lines(log_path):
     return losses, evals
 
 
-def test_two_process_full_train_loop_matches_single(tmp_path):
+@pytest.mark.parametrize("wire", ["float32", "int8"])
+def test_two_process_full_train_loop_matches_single(tmp_path, wire):
     """VERDICT r2 item 3: a full 2-process, 2-epoch train() — loss curve,
     eval scores, final params, and on-disk checkpoints all match the
     single-process run (the per-epoch log format is byte-compatible with
-    the reference's train.py:103-106 lines)."""
+    the reference's train.py:103-106 lines).
+
+    The int8 case pins multi-host LOCKSTEP through the quantized wire:
+    every process must produce byte-identical int8 batches (the canonical
+    quantizer + the -ffp-contract=off build guarantee it), or the psum'd
+    gradients silently diverge."""
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -151,7 +157,7 @@ def test_two_process_full_train_loop_matches_single(tmp_path):
     port = _free_port()
     procs = [
         subprocess.Popen([sys.executable, LOOP_WORKER, str(pid), "2",
-                          str(port), out],
+                          str(port), out, wire],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True, cwd=REPO)
         for pid in range(2)
@@ -173,7 +179,8 @@ def test_two_process_full_train_loop_matches_single(tmp_path):
         assert line, outp[-2000:]
         return float(line[-1].split()[1])
 
-    want_psum, (want_losses, want_evals) = _single_process_epochs(tmp_path)
+    want_psum, (want_losses, want_evals) = _single_process_epochs(tmp_path,
+                                                                   wire)
     # both hosts ended on the same replicated params == single-process run
     for outp in outs:
         got = grab("PSUM", outp)
