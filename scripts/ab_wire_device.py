@@ -48,14 +48,17 @@ from vqatpu.train.steps import make_train_state, make_train_step, wire_cast
 
 B = int(os.environ.get("AB_B", 256))
 V = int(os.environ.get("AB_V", 50))
+MODEL = os.environ.get("AB_MODEL", "cti")
+CDTYPE = os.environ.get("AB_DTYPE", "float32")
 QL, AL = 12, 3
 
 
 def main():
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
-                      model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
+                      model=MODEL, num_hid=1024, h_mm=512, rank=32, gamma=2)
     m = build_model(cfg)
-    step = make_train_step(m, TrainConfig(update_freq=1))
+    step = make_train_step(m, TrainConfig(update_freq=1,
+                                          compute_dtype=CDTYPE))
     rng = np.random.RandomState(0)
     batch_f = {
         "v": (rng.randn(B, V, 2048) * rng.rand(B, V, 1) * 3).astype(np.float32),
