@@ -73,6 +73,43 @@ def test_logits_endpoint(server, rng):
     assert logits.shape == (2, NUM_ANS)
 
 
+def test_npz_binary_wire(server, rng):
+    """application/x-npz requests: /answer matches the JSON wire on the
+    same inputs; /logits returns an npz body with the same logits."""
+    import io
+
+    n = 2
+    feats = rng.randn(n, 6, V_DIM).astype(np.float32)
+    qtok = rng.randint(0, 30, (n, 12))
+    atok = rng.randint(0, 30, (n, 3))
+    buf = io.BytesIO()
+    np.savez(buf, features=feats, question_tokens=qtok, answer_tokens=atok)
+    body = buf.getvalue()
+
+    def post_npz(path):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{PORT}{path}", data=body,
+            headers={"Content-Type": "application/x-npz"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.headers.get("Content-Type"), r.read()
+
+    ctype, raw = post_npz("/answer")
+    assert ctype == "application/json"
+    want = _post("/answer", {"features": feats.tolist(),
+                             "question_tokens": qtok.tolist(),
+                             "answer_tokens": atok.tolist()})
+    assert json.loads(raw)["answers"] == want["answers"]
+
+    ctype, raw = post_npz("/logits")
+    assert ctype == "application/x-npz"
+    with np.load(io.BytesIO(raw)) as z:
+        logits = z["logits"]
+    want_logits = np.asarray(_post("/logits", {
+        "features": feats.tolist(), "question_tokens": qtok.tolist(),
+        "answer_tokens": atok.tolist()})["logits"])
+    np.testing.assert_allclose(logits, want_logits, atol=1e-6)
+
+
 def test_malformed_request_is_400_and_server_survives(server, rng):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post("/answer", {"features": "not an array"})
@@ -147,3 +184,53 @@ def test_serve_cli_parser_constructs():
     with pytest.raises(SystemExit) as e:
         serve.main(["--help"])
     assert e.value.code == 0
+
+
+def test_micro_batched_server_concurrent_posts(tmp_path_factory, rng):
+    """--micro_batch path: concurrent HTTP posts through a MicroBatcher-
+    wrapped session coalesce into few predicts and all answers are
+    correct (equal to the unbatched session's)."""
+    import threading
+
+    from vqatpu.serve import MicroBatcher
+
+    sess = make_session(tmp_path_factory.mktemp("http_mb"))
+    mb = MicroBatcher(sess, max_batch=8, max_wait_ms=100.0)
+    d = Dictionary()
+    d.tokenize("what color is the cat dog red blue", add_word=True)
+    port = PORT + 1
+    srv = serve_in_thread(mb, d, "cti", port)
+    try:
+        n = 6
+        feats = rng.randn(n, 6, V_DIM).astype(np.float32)
+        qtok = rng.randint(0, 30, (n, 12))
+        atok = rng.randint(0, 30, (n, 3))
+        want = sess.answer(feats, None, qtok, atok)
+        got = [None] * n
+        barrier = threading.Barrier(n)
+
+        def post(i):
+            barrier.wait()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/answer",
+                data=json.dumps({
+                    "features": feats[i:i + 1].tolist(),
+                    "question_tokens": qtok[i:i + 1].tolist(),
+                    "answer_tokens": atok[i:i + 1].tolist(),
+                }).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                got[i] = json.loads(r.read())["answers"][0]
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert got == want
+        assert mb.rows_served == n
+        assert mb.batches_run <= 4, mb.batches_run  # coalesced, not 6x b1
+    finally:
+        srv.shutdown()
+        mb.close()

@@ -136,3 +136,87 @@ def test_transfer_dtype_int8_wire(tmp_path, rng):
     np.testing.assert_allclose(sess8.logits(v, None, q, a),
                                sess32.logits(v, None, q, a),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_micro_batcher_coalesces_and_matches(tmp_path, rng):
+    """Concurrent single-row requests coalesce into few bucketed predicts
+    and every caller gets the same logits as a direct session call."""
+    import threading
+
+    from vqatpu.serve import MicroBatcher
+
+    sess = make_session(tmp_path)
+    mb = MicroBatcher(sess, max_batch=8, max_wait_ms=100.0)
+    try:
+        v, b, q, a = reqs(rng, 8)
+        want = sess.logits(v, b, q, a)
+        got = [None] * 8
+        start = threading.Barrier(8)
+
+        def call(i):
+            start.wait()
+            got[i] = mb.logits(v[i:i + 1], b[i:i + 1], q[i:i + 1],
+                               a[i:i + 1])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            np.testing.assert_allclose(got[i][0], want[i], atol=1e-5)
+        assert mb.rows_served == 8
+        # 8 simultaneous rows (barrier) must coalesce into FEW predicts —
+        # strictly fewer than one per request, normally 1-2
+        assert mb.batches_run <= 4, mb.batches_run
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_groups_and_errors(tmp_path, rng):
+    """Incompatible requests (different question widths) run as separate
+    groups, both correct; a malformed request's error reaches only its own
+    caller."""
+    import threading
+
+    from vqatpu.serve import MicroBatcher
+
+    sess = make_session(tmp_path)
+    mb = MicroBatcher(sess, max_batch=8, max_wait_ms=100.0)
+    try:
+        v, b, q, a = reqs(rng, 4)
+        q_short = q[2:4, :9]  # GRU scans any length -> a distinct group
+        want_12 = sess.logits(v[:2], b[:2], q[:2], a[:2])
+        want_9 = sess.logits(v[2:4], b[2:4], q_short, a[2:4])
+        results = {}
+        start = threading.Barrier(3)
+
+        def wide():
+            start.wait()
+            results["w"] = mb.logits(v[:2], b[:2], q[:2], a[:2])
+
+        def narrow():
+            start.wait()
+            results["n"] = mb.logits(v[2:4], b[2:4], q_short, a[2:4])
+
+        def bad():
+            start.wait()
+            try:
+                mb.logits(rng.randn(1, 6, V_DIM + 3).astype(np.float32),
+                          b[:1], q[:1], a[:1])
+                results["bad"] = "no error"
+            except Exception as e:
+                results["bad"] = type(e).__name__
+
+        threads = [threading.Thread(target=f)
+                   for f in (wide, narrow, bad)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        np.testing.assert_allclose(results["w"], want_12, atol=1e-5)
+        np.testing.assert_allclose(results["n"], want_9, atol=1e-5)
+        assert results["bad"] != "no error"
+    finally:
+        mb.close()

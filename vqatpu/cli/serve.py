@@ -10,6 +10,15 @@ Endpoints:
                      -> {"answers": [...], "latency_ms": ...}
 - ``POST /logits``   same body -> raw logits
 
+Both POST endpoints also accept ``Content-Type: application/x-npz``: the
+body is ``np.savez`` bytes with the same keys as the JSON form (arrays
+``features``, ``question_tokens``, optional ``spatials`` /
+``answer_tokens``).  JSON-encoding a 50x2048 feature tensor costs ~400 KB
+and tens of host-CPU ms per request to parse; the npz wire carries the
+same request in ~28 KB (float16 features) and parses in microseconds, so
+a loaded server stays device-bound instead of parse-bound.  An npz
+``/logits`` request gets an npz response (key ``logits``).
+
 Run: ``python -m vqatpu.cli.serve --input saved_models/cti --epoch 12
      --dataroot data_vqa --model cti --port 8399``
 """
@@ -17,6 +26,7 @@ Run: ``python -m vqatpu.cli.serve --input saved_models/cti --epoch 12
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
 import pickle
@@ -62,6 +72,11 @@ def build_session(args):
 
 
 def make_handler(session, dictionary, model_name: str):
+    """``session`` may be an InferenceSession or a MicroBatcher wrapping
+    one (same answer/logits surface) — with the batcher, concurrent
+    requests coalesce into one bucketed predict (ThreadingHTTPServer runs
+    a thread per connection, so under load K single-question posts become
+    one batch-K device call instead of K serialized bucket-1 calls)."""
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -80,27 +95,56 @@ def make_handler(session, dictionary, model_name: str):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _npz(self, arrays: dict):
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path not in ("/answer", "/logits"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length))
-                v = np.asarray(req["features"], np.float32)
-                b = req.get("spatials")
-                b = None if b is None else np.asarray(b, np.float32)
-                if "question_tokens" in req:
-                    q = np.asarray(req["question_tokens"], np.int32)
+                body = self.rfile.read(length)
+                binary = self.headers.get(
+                    "Content-Type", "").startswith("application/x-npz")
+                if binary:
+                    with np.load(io.BytesIO(body),
+                                 allow_pickle=False) as z:
+                        # features may arrive float16/int8-scaled narrow;
+                        # the session's transfer_dtype handles the device
+                        # wire — here only widen to the f32 entry contract
+                        v = np.asarray(z["features"], np.float32)
+                        b = (np.asarray(z["spatials"], np.float32)
+                             if "spatials" in z.files else None)
+                        q = np.asarray(z["question_tokens"], np.int32)
+                        a = (np.asarray(z["answer_tokens"], np.int32)
+                             if "answer_tokens" in z.files else None)
                 else:
-                    q = np.asarray(
-                        [dictionary.tokenize_padded(s, 12)
-                         for s in req["questions"]], np.int32)
-                a = req.get("answer_tokens")
-                a = None if a is None else np.asarray(a, np.int32)
+                    req = json.loads(body)
+                    v = np.asarray(req["features"], np.float32)
+                    b = req.get("spatials")
+                    b = None if b is None else np.asarray(b, np.float32)
+                    if "question_tokens" in req:
+                        q = np.asarray(req["question_tokens"], np.int32)
+                    else:
+                        q = np.asarray(
+                            [dictionary.tokenize_padded(s, 12)
+                             for s in req["questions"]], np.int32)
+                    a = req.get("answer_tokens")
+                    a = None if a is None else np.asarray(a, np.int32)
                 t0 = time.perf_counter()
                 if self.path == "/answer":
                     out = {"answers": session.answer(v, b, q, a)}
+                elif binary:
+                    self._npz({"logits": session.logits(v, b, q, a)})
+                    return
                 else:
                     out = {"logits": session.logits(v, b, q, a).tolist()}
                 out["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
@@ -111,9 +155,15 @@ def make_handler(session, dictionary, model_name: str):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # default listen backlog (5) resets connections under a concurrent
+    # request wave — the exact load micro-batching exists to serve
+    request_queue_size = 128
+
+
 def make_server(session, dictionary, model_name: str, port: int,
                 host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    return ThreadingHTTPServer(
+    return _Server(
         (host, port), make_handler(session, dictionary, model_name))
 
 
@@ -134,6 +184,13 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8399)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--v_dim", type=int, default=2048)
+    parser.add_argument("--micro_batch", type=int, default=0,
+                        help="coalesce concurrent requests into one "
+                             "predict of up to this many rows (0 = off); "
+                             "adds at most --micro_batch_wait_ms latency")
+    parser.add_argument("--micro_batch_wait_ms", type=float, default=3.0,
+                        help="max wait after the first queued request "
+                             "before the coalesced predict dispatches")
     # --transfer_dtype comes from add_common_args (shared with train/test);
     # the store flags (--quantize_store/--stream_features) are inert here —
     # serving takes features per request, not from a resident store — but
@@ -142,6 +199,11 @@ def main(argv=None):
     validate_args(args)
 
     session, dictionary = build_session(args)
+    if args.micro_batch > 0:
+        from vqatpu.serve import MicroBatcher
+
+        session = MicroBatcher(session, max_batch=args.micro_batch,
+                               max_wait_ms=args.micro_batch_wait_ms)
     server = make_server(session, dictionary, args.model, args.port, args.host)
     print(f"serving {args.model} on http://{args.host}:{args.port}")
     try:

@@ -19,6 +19,9 @@ Usage::
 from __future__ import annotations
 
 import bisect
+import queue
+import threading
+import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -182,3 +185,135 @@ class InferenceSession:
         pred = self.logits(v, b, q, a)
         d = np.linalg.norm(pred[:, None, :] - ans_emb[None, :, :], axis=2)
         return [self.label2ans[int(i)] for i in d.argmin(1)]
+
+
+class MicroBatcher:
+    """Dynamic micro-batching front end over an :class:`InferenceSession`.
+
+    The HTTP server (``vqatpu.cli.serve``) runs one thread per connection;
+    without coalescing, K concurrent single-question requests dispatch K
+    separate bucket-1 predicts that serialize on the device and each pay
+    the full dispatch + host->device overhead (the dominant serving term —
+    BENCH_MATRIX ``serve_latency_b1`` ≈ 40 ms vs ``b32`` ≈ 170-400 ms, so
+    32 coalesced rows cost ~5-12 ms each instead of ~40).  The batcher
+    parks each caller on an event, drains the queue up to ``max_batch``
+    rows (waiting at most ``max_wait_ms`` after the first request — the
+    latency bound an idle server adds), packs compatible requests into ONE
+    bucketed predict, and scatters the logits back.
+
+    Requests are compatible when they agree on the presence of spatials /
+    answer tokens, question width, and feature dim; each drained wave runs
+    one predict per compatibility group (normally exactly one).  Thread-
+    safe; exceptions propagate to the caller that submitted the bad row.
+    """
+
+    def __init__(self, session: InferenceSession, max_batch: int = 32,
+                 max_wait_ms: float = 3.0):
+        self.session = session
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = False
+        self.batches_run = 0  # observability: predicts actually dispatched
+        self.rows_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="vqatpu-microbatcher")
+        self._thread.start()
+
+    # -- caller side ------------------------------------------------------
+    def logits(self, v, b, q, a=None) -> np.ndarray:
+        """Blocking; same contract as ``InferenceSession.logits``."""
+        v = np.asarray(v, np.float32)
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((v, b, q, a, done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def answer(self, v, b, q, a=None) -> List[str]:
+        logits = self.logits(v, b, q, a)
+        return [self.session.label2ans[int(i)] for i in logits.argmax(1)]
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)  # wake the worker
+        self._thread.join(timeout=5)
+
+    # -- worker side ------------------------------------------------------
+    def _drain(self, first):
+        """Collect up to max_batch rows, waiting at most max_wait after the
+        first request arrived."""
+        items = [first]
+        rows = first[0].shape[0]
+        deadline = time.monotonic() + self.max_wait
+        while rows < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:  # close() sentinel — requeue for the loop
+                self._q.put(None)
+                break
+            items.append(item)
+            rows += item[0].shape[0]
+        return items
+
+    @staticmethod
+    def _group_key(v, b, q, a):
+        return (b is None, a is None, q.shape[1],
+                v.shape[2] if v.ndim == 3 else -1,
+                None if a is None else np.asarray(a).shape[1])
+
+    def _run_group(self, items):
+        sess = self.session
+
+        def pad_boxes(x):
+            if x.shape[1] >= sess.max_boxes:
+                return x[:, :sess.max_boxes]
+            pad = np.zeros((x.shape[0], sess.max_boxes - x.shape[1])
+                           + x.shape[2:], x.dtype)
+            return np.concatenate([x, pad], 1)
+
+        counts = [it[0].shape[0] for it in items]
+        V = np.concatenate([pad_boxes(it[0]) for it in items], 0)
+        b0 = items[0][1]
+        B = (None if b0 is None else np.concatenate(
+            [pad_boxes(np.asarray(it[1], np.float32)) for it in items], 0))
+        Q = np.concatenate([np.asarray(it[2], np.int32) for it in items], 0)
+        a0 = items[0][3]
+        A = (None if a0 is None else np.concatenate(
+            [np.asarray(it[3], np.int32) for it in items], 0))
+        try:
+            out = sess.logits(V, B, Q, A)
+            self.batches_run += 1
+            self.rows_served += sum(counts)
+        except Exception as e:
+            for _v, _b, _q, _a, done, slot in items:
+                slot["err"] = e
+                done.set()
+            return
+        at = 0
+        for (_v, _b, _q, _a, done, slot), n in zip(items, counts):
+            slot["out"] = out[at:at + n]
+            at += n
+            done.set()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._stop:
+                    return
+                continue
+            items = self._drain(item)
+            # one predict per compatibility group (normally one group)
+            groups: dict = {}
+            for it in items:
+                groups.setdefault(self._group_key(*it[:4]), []).append(it)
+            for group in groups.values():
+                self._run_group(group)
