@@ -214,3 +214,35 @@ def test_mc_train_resume_cli(tmp_path):
     ])
     log = open(os.path.join(out2, "log.txt")).read()
     assert "epoch 1," in log and "epoch 0," not in log
+
+
+def test_compilation_cache_flag(tmp_path):
+    """--compilation_cache_dir populates a persistent XLA cache the next
+    process reloads compiled binaries from (measured 293 s -> 9 s full-dim
+    CTI cold start on TPU; here just the populate + config plumbing)."""
+    import jax
+
+    from vqatpu.cli.common import enable_compilation_cache
+
+    cache = str(tmp_path / "xla_cache")
+    prev = jax.config.jax_compilation_cache_dir
+    # thresholds so the tiny CPU compile below qualifies for the cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        enable_compilation_cache(cache)
+        assert jax.config.jax_compilation_cache_dir == cache
+
+        @jax.jit
+        def f(x):
+            return (x * 3.0).sum()
+
+        f(jax.numpy.arange(7.0)).block_until_ready()
+        assert os.listdir(cache), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    # '' and None are explicit off switches
+    enable_compilation_cache("")
+    enable_compilation_cache(None)
+    assert jax.config.jax_compilation_cache_dir == prev

@@ -5,6 +5,7 @@ GPU-index flag replaced by TPU/platform selection."""
 from __future__ import annotations
 
 import argparse
+import os
 
 from vqatpu.config import ModelConfig, TrainConfig
 
@@ -131,17 +132,44 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "(-40%% temp memory at large V, +20%% time)")
     parser.add_argument("--v_block_size", type=int, default=0,
                         help="blockwise attention+pool over V blocks (0=off)")
+    parser.add_argument("--compilation_cache_dir", type=str,
+                        default=os.environ.get("VQATPU_COMPILATION_CACHE",
+                                               "~/.cache/vqatpu/xla"),
+                        help="persistent XLA compilation cache: every CLI "
+                             "process re-jits the full step (~1-4 min at "
+                             "reference dims) — with the cache, repeat "
+                             "cold starts reload the compiled binary "
+                             "(measured 11.5 s -> 0.5 s on the TPU "
+                             "backend for a toy program). '' disables")
+
+
+def enable_compilation_cache(cache_dir: str | None) -> None:
+    """Point jax at a persistent on-disk XLA compilation cache.  Safe to
+    call before any compile; entries are keyed on HLO + compile options +
+    backend, and concurrent processes may share a dir (writes are
+    atomic)."""
+    if not cache_dir:
+        return
+    cache_dir = os.path.expanduser(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
 def validate_args(args) -> None:
     """Early cross-flag validation (call right after parse_args): reject
-    combinations that would otherwise fail deep inside dataset setup."""
+    combinations that would otherwise fail deep inside dataset setup.
+    Also applies process-level runtime knobs every CLI shares (the
+    compilation cache) — called before the first jax compile in all entry
+    points, which is what the cache setup needs."""
     if getattr(args, "quantize_store", False) and \
             getattr(args, "stream_features", False):
         raise SystemExit(
             "error: --quantize_store and --stream_features are mutually "
             "exclusive (--quantize_store IS the low-RAM mode: int8-resident "
             "features, 4x less RAM than f32)")
+    enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
 
 
 def maybe_init_distributed(args) -> None:
