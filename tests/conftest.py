@@ -11,6 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # f64 off (default), but make torch comparisons deterministic
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# Hermetic tests: CLI entry points default --compilation_cache_dir to
+# ~/.cache/vqatpu/xla (validate_args enables it) — don't let test runs
+# share persistent state with the user cache.  Tests that exercise the
+# cache pass an explicit tmp dir.
+os.environ["VQATPU_COMPILATION_CACHE"] = ""
 
 import jax
 

@@ -226,6 +226,8 @@ def test_compilation_cache_flag(tmp_path):
 
     cache = str(tmp_path / "xla_cache")
     prev = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
     # thresholds so the tiny CPU compile below qualifies for the cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -241,6 +243,10 @@ def test_compilation_cache_flag(tmp_path):
         assert os.listdir(cache), "no cache entries written"
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_bytes)
 
     # '' and None are explicit off switches
     enable_compilation_cache("")

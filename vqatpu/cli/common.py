@@ -155,6 +155,17 @@ def enable_compilation_cache(cache_dir: str | None) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # jax latches its cache-used decision on the FIRST compile of the
+    # process (compilation_cache._cache_checked); if anything compiled
+    # before this call (e.g. an importing library, or a prior test in the
+    # same process), the cache would stay silently disabled.  Reset the
+    # latch so the new dir takes effect from the next compile.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:
+        pass  # private API moved — worst case the latch keeps prior state
 
 
 def validate_args(args) -> None:
