@@ -195,6 +195,72 @@ def test_ffoe_test_raw_logits_dump(tmp_path):
     assert raw["logits"].shape == (8, ds.num_ans_candidates)
     assert raw["question_ids"].shape == (8,)
 
+    # --label/--index route the dump into the reference's ensemble layout
+    # (logits/<model><op><num_hid>_<label>/logits<index>, test.py:172-175)
+    ffoe_test.main([
+        "--model", "ban", "--dataroot", root, *SMALL, "--split", "val",
+        "--input", out, "--epoch", "0", "--results", res,
+        "--logits", "1", "--label", "ens", "--index", "1",
+    ])
+    member = np.load(os.path.join(res, "logits", "banc32_ens",
+                                  "logits1.npz"))
+    np.testing.assert_array_equal(member["logits"], raw["logits"])
+
+
+def test_ensemble_cli(tmp_path):
+    """vqatpu-ensemble averages member npz dumps (aligned by question_id)
+    into an EvalAI JSON + optional teacher pkl — the combiner the reference's
+    --ensemble/--label/--index workflow (FFOE/test.py:19,172-175) leaves to
+    offline scripts."""
+    import pickle
+
+    import numpy as np
+
+    from vqatpu.cli import ensemble
+
+    rng = np.random.RandomState(0)
+    qids = np.array([11, 7, 42, 3], dtype=np.int64)
+    l2a = [f"ans{i}" for i in range(5)]
+    root = str(tmp_path / "data_vqa")
+    os.makedirs(os.path.join(root, "cache"))
+    with open(os.path.join(root, "cache", "trainval_label2ans.pkl"),
+              "wb") as f:
+        pickle.dump(l2a, f)
+
+    members = []
+    logits = []
+    for i in range(3):
+        lg = rng.randn(4, 5).astype(np.float32)
+        # member 1 dumps in a different sample order: alignment is by qid
+        order = np.argsort(qids) if i == 1 else np.arange(4)
+        p = str(tmp_path / f"member{i}.npz")
+        np.savez(p, logits=lg[order], question_ids=qids[order])
+        members.append(p)
+        logits.append(lg)
+    res = str(tmp_path / "results")
+    ensemble.main(["--inputs", *members, "--dataroot", root,
+                   "--split", "val", "--results", res, "--name", "tri",
+                   "--teacher_pkl"])
+
+    with open(os.path.join(res, "val_tri_3members.json")) as f:
+        preds = json.load(f)
+    mean = np.mean(logits, axis=0)
+    order = np.argsort(qids, kind="stable")
+    expect = {int(qids[i]): l2a[int(mean[i].argmax())] for i in range(4)}
+    assert {p["question_id"]: p["answer"] for p in preds} == expect
+    assert [p["question_id"] for p in preds] == [int(q) for q in qids[order]]
+
+    with open(os.path.join(res, "tri_val_logits.pkl"), "rb") as f:
+        teacher = pickle.load(f)
+    np.testing.assert_allclose(teacher[42], mean[2].astype(np.float16))
+
+    # mismatched question sets must raise, not silently misalign
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, logits=logits[0], question_ids=qids + 1)
+    with pytest.raises(ValueError, match="question_ids differ"):
+        ensemble.main(["--inputs", members[0], bad, "--dataroot", root,
+                       "--results", res])
+
 
 def test_mc_train_resume_cli(tmp_path):
     """MC resume: saving_epoch=0 writes epoch-0 checkpoints the CLI can

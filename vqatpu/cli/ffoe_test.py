@@ -25,6 +25,12 @@ def parse_args(argv=None):
                              "(reference test.py:55-66)")
     parser.add_argument("--epoch", type=str, default="12")
     parser.add_argument("--results", type=str, default="results")
+    parser.add_argument("--label", type=str, default="",
+                        help="ensemble member tag: raw dumps go to "
+                             "logits/<model><op><num_hid>_<label>/ "
+                             "(reference test.py:172-175)")
+    parser.add_argument("--index", type=int, default=0,
+                        help="ensemble member index within --label")
     return parser.parse_args(argv)
 
 
@@ -63,9 +69,19 @@ def main(argv=None):
                            eval_dset.label2ans,
                            dump_teacher_logits=(args.model == "cti"))
     if args.logits:
-        # raw logit dump (reference test.py:173-175 saves a .pth tensor)
+        # raw logit dump (reference test.py:173-175 saves a .pth tensor);
+        # with --label the path mirrors the reference's ensemble layout so
+        # vqatpu-ensemble can glob the members
         import numpy as np
-        raw = os.path.join(args.results, f"{args.split}_{args.model}_logits.npz")
+        if args.label:
+            member_dir = os.path.join(
+                args.results, "logits",
+                f"{args.model}{args.op}{args.num_hid}_{args.label}")
+            os.makedirs(member_dir, exist_ok=True)
+            raw = os.path.join(member_dir, f"logits{args.index}.npz")
+        else:
+            raw = os.path.join(args.results,
+                               f"{args.split}_{args.model}_logits.npz")
         np.savez(raw, logits=logits, question_ids=qids)
         paths["raw_logits"] = raw
     for kind, path in paths.items():

@@ -1,4 +1,5 @@
 from vqatpu.eval.ffoe import (
+    ensemble_logits,
     evaluate,
     export_results,
     get_logits,
@@ -14,7 +15,8 @@ from vqatpu.eval.tdiuc import (
 )
 
 __all__ = [
-    "align_predictions", "compute_score_mc", "evaluate", "evaluate_mc",
+    "align_predictions", "compute_score_mc", "ensemble_logits", "evaluate",
+    "evaluate_mc",
     "export_results", "format_report", "get_logits", "load_answerkey",
     "make_json", "make_json_with_logits", "mean_per_type",
 ]

@@ -102,6 +102,40 @@ def compute_score_with_embedding(pred_emb: np.ndarray, labels: np.ndarray,
     return labels[np.arange(labels.shape[0]), pick]
 
 
+def ensemble_logits(paths) -> Tuple[np.ndarray, np.ndarray]:
+    """Average raw-logit dumps from N ensemble members -> (logits, qids).
+
+    The reference parses ``--ensemble`` (``FFOE/test.py:19``) and dumps
+    per-member raw logits to ``logits/<model><op><hid>_<label>/
+    logits<index>.pth`` (``:172-175``) but ships no combiner — members are
+    averaged offline.  This closes that loop over vqatpu's npz dumps
+    (``ffoe_test --logits``).  Members are aligned by ``question_id`` so
+    sweeps may batch/order differently; mismatched question sets raise.
+    """
+    if not paths:
+        raise ValueError("ensemble needs at least one logits dump")
+    logit_sum = None
+    ref_qids = None
+    for p in paths:
+        with np.load(p) as d:
+            logits, qids = d["logits"], d["question_ids"]
+        order = np.argsort(qids, kind="stable")
+        logits, qids = logits[order], qids[order]
+        if ref_qids is None:
+            ref_qids = qids
+            logit_sum = logits.astype(np.float64)
+        else:
+            if not np.array_equal(qids, ref_qids):
+                raise ValueError(
+                    f"{p}: question_ids differ from {paths[0]} — ensemble "
+                    "members must cover the same split")
+            if logits.shape != logit_sum.shape:
+                raise ValueError(
+                    f"{p}: logits shape {logits.shape} != {logit_sum.shape}")
+            logit_sum += logits
+    return (logit_sum / len(paths)).astype(np.float32), ref_qids
+
+
 def make_json(logits: np.ndarray, qids: np.ndarray, label2ans) -> list:
     """EvalAI format: [{question_id, answer}] (``test.py:114-122``)."""
     assert logits.shape[0] == len(qids)
