@@ -207,6 +207,26 @@ def test_ffoe_test_raw_logits_dump(tmp_path):
     np.testing.assert_array_equal(member["logits"], raw["logits"])
 
 
+def test_ffoe_train_use_both_vg_cli(tmp_path):
+    """--use_both --use_vg trains on the train+val+VG concat (reference
+    FFOE/main.py:130-140) — the headline test2015 configuration.  With
+    use_both there is no held-out eval (eval_ds=None), so the log carries
+    train lines only."""
+    from vqatpu.data.synthetic import add_visualgenome_fixture
+
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=24, n_val=16, n_images=8, v_dim=16)
+    add_visualgenome_fixture(root)
+    out = str(tmp_path / "both_out")
+    ffoe_train.main([
+        "--model", "ban", "--dataroot", root, "--output", out, *SMALL,
+        "--use_both", "--use_vg",
+    ])
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "train_loss" in log
+    assert "eval score" not in log
+
+
 def test_ensemble_cli(tmp_path):
     """vqatpu-ensemble averages member npz dumps (aligned by question_id)
     into an EvalAI JSON + optional teacher pkl — the combiner the reference's
