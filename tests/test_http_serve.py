@@ -62,6 +62,61 @@ def test_answer_endpoint(server, rng):
     assert len(out2["answers"]) == n
 
 
+def test_answer_mc_endpoint(tmp_path_factory, rng):
+    """POST /answer_mc: per-request MC candidates (strings tokenized
+    server-side, or pre-tokenized mc_tokens) -> scores + picked answers."""
+    from vqatpu.config import ModelConfig
+    from vqatpu.models import build_model
+    from vqatpu.serve import InferenceSession
+    from vqatpu.train.checkpoints import save_checkpoint
+    from vqatpu.train.steps import make_train_state
+
+    tmp = tmp_path_factory.mktemp("http_mc")
+    cfg = ModelConfig(ntoken=30, v_dim=V_DIM, num_ans_candidates=2,
+                      task="mc", model="tan", num_hid=16, h_mm=8, rank=2,
+                      gamma=2)
+    m = build_model(cfg)
+    save_checkpoint(str(tmp / "mc.ckpt"),
+                    make_train_state(m, jax.random.PRNGKey(0)), 0)
+    sess = InferenceSession.from_checkpoint(
+        str(tmp / "mc.ckpt"), cfg, ["match", "nonmatch"],
+        batch_buckets=(2, 4, 8, 16), max_boxes=10)
+    d = Dictionary()
+    d.tokenize("what color is the cat dog red blue green", add_word=True)
+    port = PORT + 4
+    srv = serve_in_thread(sess, d, "tan", port)
+    try:
+        n, c = 2, 4
+        feats = rng.randn(n, 6, V_DIM).astype(np.float32).tolist()
+        qs = rng.randint(0, 30, (n, 12)).tolist()
+        cands = [["red", "blue", "green", "dog"],
+                 ["cat", "dog", "red cat", "blue dog"]]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer_mc",
+            data=json.dumps({"features": feats, "question_tokens": qs,
+                             "mc_answers": cands}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert np.asarray(out["scores"]).shape == (n, c)
+        assert out["answers"] == [cands[i][j]
+                                  for i, j in enumerate(out["picks"])]
+
+        # pre-tokenized candidates give the same scores
+        mc_tokens = [[d.tokenize_padded(s, 6) for s in row] for row in cands]
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer_mc",
+            data=json.dumps({"features": feats, "question_tokens": qs,
+                             "mc_tokens": mc_tokens}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=60) as r:
+            out2 = json.loads(r.read())
+        np.testing.assert_allclose(out2["scores"], out["scores"], rtol=1e-5)
+        assert "answers" not in out2  # no strings without mc_answers
+    finally:
+        srv.shutdown()
+
+
 def test_logits_endpoint(server, rng):
     payload = {
         "features": rng.randn(2, 6, V_DIM).astype(np.float32).tolist(),

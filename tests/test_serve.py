@@ -64,6 +64,41 @@ def test_chunking_beyond_largest_bucket(tmp_path, rng):
                                atol=1e-5)
 
 
+def test_answer_mc(tmp_path, rng):
+    """MC serving: x4 candidate expansion + class-0 softmax pick matches a
+    per-sample loop over session.logits (reference MC/train.py:14-19,
+    74-83)."""
+    cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=2,
+                      task="mc", model="tan", num_hid=16, h_mm=8, rank=2,
+                      gamma=2)
+    m = build_model(cfg)
+    state = make_train_state(m, jax.random.PRNGKey(0))
+    path = str(tmp_path / "mc.ckpt")
+    save_checkpoint(path, state, epoch=0)
+    sess = InferenceSession.from_checkpoint(
+        path, cfg, ["match", "nonmatch"], batch_buckets=(2, 4, 8),
+        max_boxes=10)
+
+    n, c = 3, 4
+    v, b, q, _ = reqs(rng, n)
+    ans_mc = rng.randint(0, NTOKEN + 1, (n, c, 6))
+    scores = sess.mc_scores(v, b, q, ans_mc)
+    assert scores.shape == (n, c)
+    np.testing.assert_allclose(scores.sum(), scores.sum())  # finite
+    # oracle: score each (sample, candidate) pair independently
+    for i in range(n):
+        lg = sess.logits(np.repeat(v[i:i + 1], c, 0),
+                         np.repeat(b[i:i + 1], c, 0),
+                         np.repeat(q[i:i + 1], c, 0), ans_mc[i])
+        p0 = np.exp(lg[:, 0]) / np.exp(lg).sum(1)
+        np.testing.assert_allclose(scores[i], p0, rtol=1e-5, atol=1e-6)
+
+    cands = [[f"c{i}{j}" for j in range(c)] for i in range(n)]
+    picked = sess.answer_mc(v, b, q, ans_mc, cands)
+    assert picked == [cands[i][int(scores[i].argmax())] for i in range(n)]
+    assert sess.answer_mc(v, b, q, ans_mc) == [int(s.argmax()) for s in scores]
+
+
 def test_answer_by_embedding(tmp_path, rng):
     """Embedding-distance decoding: the nearest ans_emb row wins."""
     sess = make_session(tmp_path)

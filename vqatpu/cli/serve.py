@@ -9,6 +9,10 @@ Endpoints:
                             "question_tokens": [[q]], "answer_tokens": [[a]]?}
                      -> {"answers": [...], "latency_ms": ...}
 - ``POST /logits``   same body -> raw logits
+- ``POST /answer_mc`` (``--task mc`` checkpoints) body adds
+                     ``mc_tokens [N, C, A]`` or ``mc_answers [N][C]``
+                     candidate strings -> per-candidate match scores +
+                     picked answers (MC/train.py:14-19 semantics)
 
 Both POST endpoints also accept ``Content-Type: application/x-npz``: the
 body is ``np.savez`` bytes with the same keys as the JSON form (arrays
@@ -42,11 +46,17 @@ def build_session(args):
     from vqatpu.data import Dictionary, VQAFeatureDataset
     from vqatpu.serve import InferenceSession
 
+    task = getattr(args, "task", "ffoe")
     dictionary = Dictionary.load_from_file(
         os.path.join(args.dataroot, "dictionary.pkl"))
-    with open(os.path.join(args.dataroot, "cache", "trainval_label2ans.pkl"),
-              "rb") as f:
-        label2ans = pickle.load(f)
+    if task == "mc":
+        # 2-class match/non-match head — answers arrive per request as MC
+        # candidates, there is no global answer vocabulary (MC/dataset.py)
+        label2ans = ["match", "nonmatch"]
+    else:
+        with open(os.path.join(args.dataroot, "cache",
+                               "trainval_label2ans.pkl"), "rb") as f:
+            label2ans = pickle.load(f)
 
     class _DS:  # minimal surface for model_config_from_args
         pass
@@ -55,7 +65,7 @@ def build_session(args):
     ds.dictionary = dictionary
     ds.v_dim = args.v_dim
     ds.num_ans_candidates = len(label2ans)
-    cfg = model_config_from_args(args, ds)
+    cfg = model_config_from_args(args, ds, task=task)
     ckpt = os.path.join(args.input, f"model_epoch{args.epoch}.ckpt")
     # --transfer_dtype float16 narrows the host->device wire (the serving
     # bottleneck on PCIe-constrained hosts); --compute_dtype bfloat16 runs
@@ -106,7 +116,7 @@ def make_handler(session, dictionary, model_name: str):
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path not in ("/answer", "/logits"):
+            if self.path not in ("/answer", "/logits", "/answer_mc"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
@@ -126,6 +136,8 @@ def make_handler(session, dictionary, model_name: str):
                         q = np.asarray(z["question_tokens"], np.int32)
                         a = (np.asarray(z["answer_tokens"], np.int32)
                              if "answer_tokens" in z.files else None)
+                        mc_npz = (np.asarray(z["mc_tokens"], np.int32)
+                                  if "mc_tokens" in z.files else None)
                 else:
                     req = json.loads(body)
                     v = np.asarray(req["features"], np.float32)
@@ -140,7 +152,30 @@ def make_handler(session, dictionary, model_name: str):
                     a = req.get("answer_tokens")
                     a = None if a is None else np.asarray(a, np.int32)
                 t0 = time.perf_counter()
-                if self.path == "/answer":
+                if self.path == "/answer_mc":
+                    # MC serving: candidates per request — "mc_tokens"
+                    # [N, C, A] pre-tokenized, or "mc_answers" [N][C]
+                    # strings tokenized here (answer len 6, MC/dataset.py)
+                    cands = None
+                    if binary:
+                        if mc_npz is None:
+                            raise KeyError("mc_tokens")
+                        mc = mc_npz
+                    elif "mc_tokens" in req:
+                        mc = np.asarray(req["mc_tokens"], np.int32)
+                    else:
+                        cands = req["mc_answers"]
+                        mc = np.asarray(
+                            [[dictionary.tokenize_padded(s, 6) for s in row]
+                             for row in cands], np.int32)
+                    scores = session.mc_scores(v, b, q, mc)
+                    pick = scores.argmax(1)
+                    out = {"scores": scores.tolist(),
+                           "picks": pick.tolist()}
+                    if cands is not None:
+                        out["answers"] = [cands[i][j]
+                                          for i, j in enumerate(pick)]
+                elif self.path == "/answer":
                     out = {"answers": session.answer(v, b, q, a)}
                 elif binary:
                     self._npz({"logits": session.logits(v, b, q, a)})
@@ -184,6 +219,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8399)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--v_dim", type=int, default=2048)
+    parser.add_argument("--task", type=str, default="ffoe",
+                        choices=("ffoe", "mc"),
+                        help="mc serves a Visual7W 2-class checkpoint; "
+                             "POST /answer_mc with per-request candidates")
     parser.add_argument("--micro_batch", type=int, default=0,
                         help="coalesce concurrent requests into one "
                              "predict of up to this many rows (0 = off); "

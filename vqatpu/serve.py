@@ -176,6 +176,26 @@ class InferenceSession:
         logits = self.logits(v, b, q, a)
         return [self.label2ans[int(i)] for i in logits.argmax(1)]
 
+    def mc_scores(self, v, b, q, ans_mc: np.ndarray) -> np.ndarray:
+        """Candidate match probabilities for MC (2-class) models.
+
+        Reference semantics: each sample expands over its candidates
+        (``MC/train.py:74-83``; spatials ARE expanded here — the reference
+        forgets them, its documented as-committed BAN bug) and scores are
+        the class-0 (match) softmax probabilities (``compute_score_mc``,
+        ``MC/train.py:14-19``).  ``ans_mc [N, C, A]`` int candidate tokens
+        -> ``[N, C]`` probabilities.
+        """
+        return _mc_scores(self.logits, v, b, q, ans_mc)
+
+    def answer_mc(self, v, b, q, ans_mc: np.ndarray,
+                  candidates: Optional[Sequence[Sequence[str]]] = None):
+        """Pick each sample's best MC candidate.  Returns indices ``[N]``,
+        or the candidate strings when ``candidates`` (``[N][C]``) is given
+        (Visual7W serving: the choices come with the request, not from a
+        global answer vocabulary)."""
+        return _answer_mc(self.logits, v, b, q, ans_mc, candidates)
+
     def answer_by_embedding(self, v, b, q, ans_emb: np.ndarray,
                             a=None) -> List[str]:
         """Embedding-distance decoding (``FFOE/test.py:68-75``): treat the
@@ -185,6 +205,28 @@ class InferenceSession:
         pred = self.logits(v, b, q, a)
         d = np.linalg.norm(pred[:, None, :] - ans_emb[None, :, :], axis=2)
         return [self.label2ans[int(i)] for i in d.argmin(1)]
+
+
+def _mc_scores(logits_fn, v, b, q, ans_mc: np.ndarray) -> np.ndarray:
+    """Candidate-expansion + class-0 softmax over any ``logits(v,b,q,a)``
+    callable (works identically through a MicroBatcher, whose coalescing
+    then batches the expanded rows with other traffic)."""
+    n, c = ans_mc.shape[:2]
+    vx = np.repeat(v, c, axis=0)
+    bx = None if b is None else np.repeat(b, c, axis=0)
+    qx = np.repeat(q, c, axis=0)
+    logits = logits_fn(vx, bx, qx, np.asarray(ans_mc).reshape(n * c, -1))
+    z = logits - logits.max(1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(1, keepdims=True)
+    return p[:, 0].reshape(n, c)
+
+
+def _answer_mc(logits_fn, v, b, q, ans_mc, candidates=None):
+    pick = _mc_scores(logits_fn, v, b, q, ans_mc).argmax(1)
+    if candidates is None:
+        return pick.tolist()
+    return [candidates[i][j] for i, j in enumerate(pick)]
 
 
 class MicroBatcher:
@@ -235,6 +277,14 @@ class MicroBatcher:
     def answer(self, v, b, q, a=None) -> List[str]:
         logits = self.logits(v, b, q, a)
         return [self.session.label2ans[int(i)] for i in logits.argmax(1)]
+
+    def mc_scores(self, v, b, q, ans_mc) -> np.ndarray:
+        """MC candidate scoring through the batcher: the expanded rows
+        coalesce with other queued traffic like any logits call."""
+        return _mc_scores(self.logits, v, b, q, ans_mc)
+
+    def answer_mc(self, v, b, q, ans_mc, candidates=None):
+        return _answer_mc(self.logits, v, b, q, ans_mc, candidates)
 
     def close(self):
         self._stop = True
