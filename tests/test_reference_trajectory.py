@@ -10,9 +10,13 @@ as a test oracle, nothing is copied), builds its models via
 weights through :mod:`vqatpu.tools.export_torch`, and drives the reference's
 own ``train()`` + ``Trainer`` (``src/FFOE/train.py:24-116``,
 ``src/FFOE/trainer.py:97-272``) against ``vqatpu.train``'s jitted step +
-``lr_for_epoch`` on identical synthetic batches with dropout disabled
-(torch/jax dropout RNG streams can never align; dropout is the only
-train-mode stochasticity in these models).  Asserts:
+``lr_for_epoch`` on identical synthetic batches — most scenarios with
+dropout disabled (torch/jax dropout RNG streams can never align; dropout is
+the only train-mode stochasticity in these models), plus two dropout-ACTIVE
+scenarios (CTI, BAN+counter+KD) where the reference's realized masks are
+captured by monkeypatching ``torch.nn.functional.dropout`` and replayed
+into vqatpu via ``Ctx.mask_source`` — covering train-mode mask placement
+and inverted-dropout scaling.  Asserts:
 
 - per-microbatch loss parity at every step,
 - per-update pre-clip flat-grad norm parity (clip/denom order),
@@ -128,10 +132,40 @@ def _zero_dropout(model_t: nn.Module) -> None:
             m.p = 0.0
 
 
-def _make_pair(ref, model_name: str, use_counter: bool):
+class _TorchMaskRecorder:
+    """Stands in for ``torch.nn.functional.dropout`` during the reference
+    run: draws Bernoulli masks from its own generator, applies the exact
+    inverted-dropout semantics (``x * mask / keep``), and RECORDS every
+    realized mask grouped per forward call — so the vqatpu run can replay
+    the identical masks through :class:`vqatpu.ops.MaskSource` and
+    dropout-ACTIVE trajectories become comparable (torch/jax RNG streams
+    can never align; shared masks remove the stream from the equation).
+    ``inplace`` is ignored (a fresh tensor is returned); every reference
+    call site consumes the return value, so semantics are unchanged."""
+
+    def __init__(self, seed: int = 123):
+        self.per_forward = []
+        self._gen = torch.Generator().manual_seed(seed)
+
+    def start_forward(self):
+        self.per_forward.append([])
+
+    def __call__(self, input, p=0.5, training=True, inplace=False):
+        if not training or p == 0.0:
+            return input
+        keep = 1.0 - p
+        mask = (torch.rand(input.shape, generator=self._gen) < keep).to(
+            input.dtype)
+        self.per_forward[-1].append(mask.numpy().astype(np.float32))
+        return input * mask / keep
+
+
+def _make_pair(ref, model_name: str, use_counter: bool,
+               zero_dropout: bool = True):
     """vqatpu model + init params, and the reference model carrying the SAME
     weights (via export_torch, strict-loaded into the real reference
-    modules)."""
+    modules).  ``zero_dropout=False`` keeps the builders' dropout rates live
+    for the mask-injection scenarios."""
     cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
                       model=model_name, num_hid=HID, h_mm=HMM, rank=RANK,
                       gamma=GAMMA, use_counter=use_counter)
@@ -141,7 +175,8 @@ def _make_pair(ref, model_name: str, use_counter: bool):
     args = _args(model_name, use_counter=use_counter)
     builder = getattr(ref.base, f"build_{model_name}")
     model_t = builder(args, _dataset_stub())
-    _zero_dropout(model_t)
+    if zero_dropout:
+        _zero_dropout(model_t)
     sd = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
           for k, v in export_state_dict(model_j, state.params).items()}
     result = model_t.load_state_dict(sd, strict=False)
@@ -213,16 +248,23 @@ class _EpochLoader:
 
 
 def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
-                   pipeline="ffoe"):
+                   pipeline="ffoe", recorder=None):
     """Drive the reference's own composed train() loop (FFOE or MC),
     recording every microbatch loss, every update's pre-clip grad norm, and
-    the live optimizer lr at each step."""
+    the live optimizer lr at each step.  ``recorder`` (a
+    :class:`_TorchMaskRecorder`) additionally monkeypatches
+    ``torch.nn.functional.dropout`` to capture per-forward dropout masks."""
+    import torch.nn.functional as F
+
     losses, norms, lrs = [], [], []
     train_mod = ref.train if pipeline == "ffoe" else ref.mc_train
     Trainer = (ref.trainer if pipeline == "ffoe" else ref.mc_trainer).Trainer
     orig_fwd, orig_step = Trainer._forward, Trainer.train_step
+    orig_dropout = F.dropout
 
     def rec_fwd(self, sample, eval=False):
+        if recorder is not None and not eval:
+            recorder.start_forward()
         out = orig_fwd(self, sample, eval=eval)
         losses.append(float(out[0].item()))
         lrs.append(float(self.optimizer.param_groups[0]["lr"]))
@@ -235,47 +277,81 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
         return out
 
     Trainer._forward, Trainer.train_step = rec_fwd, rec_step
+    if recorder is not None:
+        F.dropout = recorder
     try:
         loader = _EpochLoader(per_epoch, n_samples=L * B,
                               mc=(pipeline == "mc"))
         train_mod.train(args, model_t, loader, None, num_epochs, outdir)
     finally:
         Trainer._forward, Trainer.train_step = orig_fwd, orig_step
+        F.dropout = orig_dropout
     return losses, norms, lrs
 
 
 def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
-                update_freq):
-    tcfg = TrainConfig(update_freq=update_freq, deterministic=True,
+                update_freq, mask_lists=None):
+    """``mask_lists``: per-microbatch lists of captured torch dropout masks
+    (from :class:`_TorchMaskRecorder`); when given, the run goes
+    dropout-ACTIVE, replaying the reference's exact masks through a
+    :class:`~vqatpu.ops.MaskSource` Ctx under ``jax.disable_jit()`` (jit
+    would bake the first step's masks in as constants)."""
+    import contextlib
+
+    from vqatpu.ops import Ctx, MaskSource
+
+    tcfg = TrainConfig(update_freq=update_freq,
+                       deterministic=(mask_lists is None),
                        distillation=distillation, T=2.0, alpha=0.3,
                        batch_size=B)
-    step = make_train_step(model_j, tcfg)
-    key = jax.random.PRNGKey(0)  # unused: deterministic=True disables dropout
+    holder = {"src": None}
+    ctx_factory = (None if mask_lists is None
+                   else lambda: Ctx(train=True, mask_source=holder["src"]))
+    step = make_train_step(model_j, tcfg, ctx_factory=ctx_factory)
+    key = jax.random.PRNGKey(0)  # unused: dropout is off or mask-injected
     losses, norms, lrs = [], [], []
-    for epoch in range(num_epochs):
-        lr = lr_for_epoch(tcfg, epoch)
-        for batch in per_epoch[epoch]:
-            db = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k in ("v", "b", "q", "a", "target", "t_logits")}
-            state, metrics = step(state, db, jnp.float32(lr), key, False)
-            losses.append(float(metrics["loss"]))
-            lrs.append(lr)
-            if int(metrics["updated"]):
-                norms.append(float(metrics["grad_norm"]))
+    mask_iter = iter(mask_lists) if mask_lists is not None else None
+    eager = (jax.disable_jit() if mask_lists is not None
+             else contextlib.nullcontext())
+    with eager:
+        for epoch in range(num_epochs):
+            lr = lr_for_epoch(tcfg, epoch)
+            for batch in per_epoch[epoch]:
+                db = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k in ("v", "b", "q", "a", "target", "t_logits")}
+                if mask_iter is not None:
+                    holder["src"] = MaskSource(next(mask_iter))
+                state, metrics = step(state, db, jnp.float32(lr), key, False)
+                if mask_iter is not None:
+                    # every captured torch mask must have been consumed by a
+                    # matching vqatpu dropout site (placement parity)
+                    holder["src"].assert_exhausted()
+                losses.append(float(metrics["loss"]))
+                lrs.append(lr)
+                if int(metrics["updated"]):
+                    norms.append(float(metrics["grad_norm"]))
     return state, losses, norms, lrs
 
 
 def _assert_trajectory(ref, model_name, distillation, use_counter, tmp_path,
-                       num_epochs=3, update_freq=2, param_tol=2e-4):
-    model_j, state, model_t = _make_pair(ref, model_name, use_counter)
+                       num_epochs=3, update_freq=2, param_tol=2e-4,
+                       dropout_active=False):
+    model_j, state, model_t = _make_pair(ref, model_name, use_counter,
+                                         zero_dropout=not dropout_active)
     per_epoch = _make_batches(seed=7, n_epochs=num_epochs)
 
     args = _args(model_name, distillation=distillation,
                  use_counter=use_counter, update_freq=update_freq)
+    recorder = _TorchMaskRecorder() if dropout_active else None
     ref_losses, ref_norms, ref_lrs = _run_reference(
-        ref, args, model_t, per_epoch, num_epochs, str(tmp_path / "ref"))
+        ref, args, model_t, per_epoch, num_epochs, str(tmp_path / "ref"),
+        recorder=recorder)
+    if dropout_active:
+        assert any(masks for masks in recorder.per_forward), \
+            "dropout-active run captured no masks"
     state, j_losses, j_norms, j_lrs = _run_vqatpu(
-        model_j, state, per_epoch, num_epochs, distillation, update_freq)
+        model_j, state, per_epoch, num_epochs, distillation, update_freq,
+        mask_lists=recorder.per_forward if dropout_active else None)
 
     assert len(ref_losses) == len(j_losses) == num_epochs * L
     assert len(ref_norms) == len(j_norms) == num_epochs * L // update_freq
@@ -308,6 +384,25 @@ def test_ban_counter_kd_trajectory_matches_reference(ref, tmp_path):
     """BAN + counter branch + distillation criterion, every-step updates."""
     _assert_trajectory(ref, "ban", distillation=True, use_counter=True,
                        tmp_path=tmp_path, update_freq=1)
+
+
+def test_cti_dropout_active_trajectory_matches_reference(ref, tmp_path):
+    """Dropout-ACTIVE CTI trajectory: the reference runs with its builders'
+    live dropout rates (fc.py:16-18, tc.py:24-38, classifier.py:22); its
+    realized masks are captured per forward and replayed into vqatpu's
+    dropout sites (Ctx.mask_source) — closing the last untested
+    training-semantics class: train-mode mask PLACEMENT and inverted-dropout
+    SCALING (eval-mode oracles never execute either)."""
+    _assert_trajectory(ref, "cti", distillation=False, use_counter=False,
+                       tmp_path=tmp_path, num_epochs=2, dropout_active=True)
+
+
+def test_ban_counter_kd_dropout_active_trajectory_matches_reference(ref, tmp_path):
+    """Dropout-active BAN + counter + distillation (the paper's student
+    config) with mask replay; every-step updates."""
+    _assert_trajectory(ref, "ban", distillation=True, use_counter=True,
+                       tmp_path=tmp_path, num_epochs=2, update_freq=1,
+                       dropout_active=True)
 
 
 def test_reference_lr_state_machine_full_schedule(ref, tmp_path):

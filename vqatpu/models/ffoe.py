@@ -286,13 +286,19 @@ class CTIModel:
             att, _ = self.t_att.apply(p["t_att"], v, q_state, a_state, v_mask,
                                       ctx, v_t=v_ts[0], return_logits=False)
 
+        # mask-injection oracle runs (Ctx.mask_source) carry no rng; the
+        # sub-Ctx inherits the mask FIFO instead of deriving a key (eager
+        # only, so jax.checkpoint never re-traces/double-consumes it)
+        inject = ctx is not None and ctx.mask_source is not None
+
         def joint_fn(tp, v_, q_, a_, w_, sub_rng, v_t=None):
             # dropout rng enters as an ARGUMENT so jax.checkpoint's re-trace
             # replays the identical key stream (a closed-over Ctx counter
             # would advance during the extra trace and shift the masks)
-            sub_ctx = (None if sub_rng is None else
+            sub_ctx = (None if (sub_rng is None and not inject) else
                        Ctx(train=True, rng=sub_rng,
-                           mask_bits=ctx.mask_bits if ctx else 32))
+                           mask_bits=ctx.mask_bits if ctx else 32,
+                           mask_source=ctx.mask_source if ctx else None))
             if qav:
                 return self.t_net.apply_with_weights_qav(
                     tp, v_, q_, a_, w_, sub_ctx, v_t=v_t)
@@ -305,7 +311,9 @@ class CTIModel:
             joint_fn = jax.checkpoint(joint_fn)
 
         for g in range(self.cfg.gamma):
-            sub_rng = ctx.dropout_key() if (ctx is not None and ctx.train) else None
+            sub_rng = (ctx.dropout_key()
+                       if (ctx is not None and ctx.train and not inject)
+                       else None)
             w_g = att_g[:, g] if qav else att[..., g]
             joint = joint_fn(p[f"t_net{g}"], v, q_state, a_state, w_g,
                              sub_rng, v_t=v_ts[1 + g])

@@ -13,12 +13,13 @@ from vqatpu.ops.embedding import WordEmbedding
 from vqatpu.ops.linear import FCNet, FCSTL, Linear, WNLinear
 from vqatpu.ops.tensor import mode_product
 from vqatpu.ops.losses import bce_with_logits_sum, distillation_loss
-from vqatpu.ops.module import Ctx, dropout
+from vqatpu.ops.module import Ctx, MaskSource, dropout
 from vqatpu.ops.rnn import QuestionEmbedding
 from vqatpu.ops.trilinear import TCNet
 
 __all__ = [
     "BCNet", "BiAttention", "Counter", "Ctx", "FCNet", "FCSTL", "Linear",
+    "MaskSource",
     "mode_product",
     "PiecewiseLin", "QuestionEmbedding", "SimpleClassifier",
     "StackedAttention", "TCNet", "TriAttention", "WNLinear", "WordEmbedding",

@@ -28,19 +28,54 @@ import jax.numpy as jnp
 Params = Any  # nested dict pytree of jnp arrays
 
 
+class MaskSource:
+    """Replays externally supplied dropout masks in declaration order.
+
+    Masks are keyed by shape with a per-shape FIFO, so two implementations
+    whose dropout *call* order differs still pair correctly as long as
+    same-shape sites run in the same relative order.  Used by the
+    dropout-ACTIVE reference-trajectory oracle
+    (``tests/test_reference_trajectory.py``): torch/jax RNG streams can
+    never align, so the oracle captures the reference's realized masks (by
+    monkeypatching ``torch.nn.functional.dropout``) and both sides consume
+    the identical masks.  Eager-mode only — inside ``jit`` the popped masks
+    would bake in as constants of the first trace."""
+
+    def __init__(self, masks):
+        from collections import deque
+
+        self._fifo: dict = {}
+        for m in masks:
+            self._fifo.setdefault(tuple(m.shape), deque()).append(m)
+
+    def next_mask(self, shape):
+        q = self._fifo.get(tuple(shape))
+        if not q:
+            raise ValueError(f"no captured dropout mask left for shape {shape}")
+        return q.popleft()
+
+    def assert_exhausted(self):
+        left = {s: len(q) for s, q in self._fifo.items() if q}
+        assert not left, f"unconsumed captured dropout masks: {left}"
+
+
 class Ctx:
     """Per-call context: train flag + deterministic dropout key stream.
 
     ``mask_bits=16`` draws dropout masks by thresholding uint16 bits instead
     of f32 uniforms (half the RNG bits; the keep probability quantizes to
     1/65536 granularity, and the inverted-dropout scale uses the EXACT
-    realized probability, so the estimator stays unbiased)."""
+    realized probability, so the estimator stays unbiased).
+
+    ``mask_source`` (a :class:`MaskSource`) replaces RNG mask draws with
+    externally captured masks — the dropout-active trajectory-parity hook."""
 
     def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
-                 mask_bits: int = 32):
+                 mask_bits: int = 32, mask_source: Optional[MaskSource] = None):
         self.train = train
         self.rng = rng
         self.mask_bits = mask_bits
+        self.mask_source = mask_source
         self._counter = 0
 
     def dropout_key(self) -> jax.Array:
@@ -72,6 +107,11 @@ def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
     if rate <= 0.0 or ctx is None or not ctx.train:
         return x
     keep = 1.0 - rate
+    if ctx.mask_source is not None:
+        # replay an externally captured 0/1 mask (torch inverted-dropout
+        # scaling: x * mask / keep — matching F.dropout exactly)
+        mask = jnp.asarray(ctx.mask_source.next_mask(x.shape), x.dtype)
+        return x * mask / keep
     if ctx.mask_bits == 16:
         thresh = max(round(keep * 65536.0), 1)  # rate→1.0 must not div-by-0
         bits = jax.random.bits(ctx.dropout_key(), x.shape, jnp.uint16)

@@ -146,20 +146,42 @@ class TCNet:
         The per-rank weight-norm linears fuse into ONE [d, rank*h_sub] GEMM:
         effective weights ``g_r * v_r / ||v_r||_F`` are scaled per rank and
         concatenated along the output dim (a batched GEMM with N=h_sub per
-        rank badly underutilizes the MXU)."""
+        rank badly underutilizes the MXU).
+
+        Dropout-semantics note: the reference's per-rank FCNets each draw an
+        INDEPENDENT mask over the shared tucker output (``tc.py:46-48``);
+        the fused GEMM draws ONE mask shared across ranks — identical
+        per-site keep probability and inverted scaling (unbiased), but
+        rank-DEcorrelated noise becomes rank-correlated.  Reference-exact
+        per-rank masks would cost rank x the mask elements (at CTI scale a
+        [32, B, V, 512] mask tensor) and break the lane-wide fused GEMM, so
+        the shared mask is the deliberate default.  Mask-injection runs
+        (``ctx.mask_source``, the dropout-active trajectory oracle) take the
+        exact per-rank path below so training-mode placement/scaling is
+        verified against the reference's own realized masks."""
+        from vqatpu.ops.activation import get_activation
         from vqatpu.ops.module import dropout as _dropout
 
         p = stacked["l0"]  # {"v": [R, h_sub, d], "g": [R], "b": [R, h_sub]}
-        v = p["v"]
-        norms = jnp.sqrt((v * v).sum(axis=(1, 2)))  # [R] Frobenius per rank
+        w = p["v"]
+        norms = jnp.sqrt((w * w).sum(axis=(1, 2)))  # [R] Frobenius per rank
+        act = get_activation(self.act)
+        if ctx is not None and ctx.mask_source is not None:
+            # reference-exact regime (eager/test only): one independent
+            # captured mask per rank, consumed in rank order like tc.py:45
+            outs = [
+                act((_dropout(x, drop, ctx) @ w[r].T)
+                    * (p["g"][r] / norms[r]) + p["b"][r])
+                for r in range(self.rank)
+            ]
+            return jnp.stack(outs, axis=2)  # [B, N, R, h_sub]
         # per-rank scales applied to the GEMM OUTPUT columns (rides the
         # bias+activation epilogue; avoids rewriting the stacked weights)
         scale = jnp.repeat(p["g"] / norms, self.h_sub)  # [R*h_sub]
-        w_all = v.reshape(self.rank * self.h_sub, v.shape[-1])
+        w_all = w.reshape(self.rank * self.h_sub, w.shape[-1])
         b_all = p["b"].reshape(self.rank * self.h_sub)
         x = _dropout(x, drop, ctx)
-        from vqatpu.ops.activation import get_activation
-        out = get_activation(self.act)((x @ w_all.T) * scale + b_all)
+        out = act((x @ w_all.T) * scale + b_all)
         return out.reshape(x.shape[0], x.shape[1], self.rank, self.h_sub)
 
     def rank_projections(self, p, v, q, a, ctx: Optional[Ctx] = None,

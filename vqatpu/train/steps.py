@@ -169,13 +169,18 @@ def _upcast_wire(batch):
 
 
 def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
-                    mc_scoring: bool = False):
+                    mc_scoring: bool = False, ctx_factory=None):
     """Build the jitted train step.
 
     Distillation applies only to ban/san — the reference's CTI branch ignores
     the KD criterion entirely (``FFOE/trainer.py:168-192``).
     ``mc_scoring`` switches batch_score to 4-candidate group accuracy
     (``MC/train.py:14-19``) for the x4-expanded MC batches.
+    ``ctx_factory`` (zero-arg -> :class:`Ctx`) overrides Ctx construction —
+    the dropout-mask-injection hook for the dropout-active trajectory
+    oracle; callers supplying per-step :class:`~vqatpu.ops.MaskSource`
+    contexts must run under ``jax.disable_jit()`` (a jitted trace would
+    bake the first step's masks in as constants).
     """
     tx = make_optimizer(_frozen_mask_fn(model, tfidf_loaded),
                         cfg.optim_state_dtype)
@@ -183,12 +188,17 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
     half = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def loss_fn(params, batch, rng):
-        if cfg.rng_impl == "rbg":
-            from vqatpu.ops.module import fast_rng
-            rng = fast_rng(rng)
-        # train=True only gates dropout in these models; cfg.deterministic
-        # turns it off for trajectory-parity runs against the torch reference
-        ctx = Ctx(train=not cfg.deterministic, rng=rng, mask_bits=cfg.mask_bits)
+        if ctx_factory is not None:
+            ctx = ctx_factory()
+        else:
+            if cfg.rng_impl == "rbg":
+                from vqatpu.ops.module import fast_rng
+                rng = fast_rng(rng)
+            # train=True only gates dropout in these models;
+            # cfg.deterministic turns it off for trajectory-parity runs
+            # against the torch reference
+            ctx = Ctx(train=not cfg.deterministic, rng=rng,
+                      mask_bits=cfg.mask_bits)
         batch = _upcast_wire(batch)
         if half is not None:
             # bf16 activations/params in the forward+backward; f32 master
