@@ -78,45 +78,48 @@ inline void quantize_row(const float* src, int64_t d, int8_t* dst,
   }
 }
 
+// One image's gather+pad into one output row (shared by the single-store
+// range loops and the multi-store per-row dispatch below).
+inline void assemble_one(const Store& s, int64_t img, int64_t max_boxes,
+                         float* v_row, float* b_row, uint8_t* m_row) {
+  int64_t start, count;
+  if (s.pos_boxes != nullptr) {
+    start = s.pos_boxes[2 * img];
+    count = s.pos_boxes[2 * img + 1] - start;
+  } else {
+    start = img * s.fixed_boxes;
+    count = s.fixed_boxes;
+  }
+  if (count > max_boxes) count = max_boxes;
+
+  if (s.features_q != nullptr) {  // int8-resident store: dequantize
+    for (int64_t box = 0; box < count; ++box) {
+      const int8_t* src = s.features_q + (start + box) * s.v_dim;
+      const float sc = s.f_scales[start + box];
+      float* dst = v_row + box * s.v_dim;
+      for (int64_t k = 0; k < s.v_dim; ++k)
+        dst[k] = static_cast<float>(src[k]) * sc;
+    }
+  } else {
+    std::memcpy(v_row, s.features + start * s.v_dim,
+                count * s.v_dim * sizeof(float));
+  }
+  std::memset(v_row + count * s.v_dim, 0,
+              (max_boxes - count) * s.v_dim * sizeof(float));
+  std::memcpy(b_row, s.spatials + start * s.s_dim,
+              count * s.s_dim * sizeof(float));
+  std::memset(b_row + count * s.s_dim, 0,
+              (max_boxes - count) * s.s_dim * sizeof(float));
+  std::memset(m_row, 1, count);
+  std::memset(m_row + count, 0, max_boxes - count);
+}
+
 void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
                     int64_t hi, int64_t max_boxes, float* out_v, float* out_b,
                     uint8_t* out_mask) {
   for (int64_t i = lo; i < hi; ++i) {
-    const int64_t img = image_idx[i];
-    int64_t start, count;
-    if (s.pos_boxes != nullptr) {
-      start = s.pos_boxes[2 * img];
-      count = s.pos_boxes[2 * img + 1] - start;
-    } else {
-      start = img * s.fixed_boxes;
-      count = s.fixed_boxes;
-    }
-    if (count > max_boxes) count = max_boxes;
-
-    float* v_row = out_v + i * max_boxes * s.v_dim;
-    float* b_row = out_b + i * max_boxes * s.s_dim;
-    uint8_t* m_row = out_mask + i * max_boxes;
-
-    if (s.features_q != nullptr) {  // int8-resident store: dequantize
-      for (int64_t box = 0; box < count; ++box) {
-        const int8_t* src = s.features_q + (start + box) * s.v_dim;
-        const float sc = s.f_scales[start + box];
-        float* dst = v_row + box * s.v_dim;
-        for (int64_t k = 0; k < s.v_dim; ++k)
-          dst[k] = static_cast<float>(src[k]) * sc;
-      }
-    } else {
-      std::memcpy(v_row, s.features + start * s.v_dim,
-                  count * s.v_dim * sizeof(float));
-    }
-    std::memset(v_row + count * s.v_dim, 0,
-                (max_boxes - count) * s.v_dim * sizeof(float));
-    std::memcpy(b_row, s.spatials + start * s.s_dim,
-                count * s.s_dim * sizeof(float));
-    std::memset(b_row + count * s.s_dim, 0,
-                (max_boxes - count) * s.s_dim * sizeof(float));
-    std::memset(m_row, 1, count);
-    std::memset(m_row + count, 0, max_boxes - count);
+    assemble_one(s, image_idx[i], max_boxes, out_v + i * max_boxes * s.v_dim,
+                 out_b + i * max_boxes * s.s_dim, out_mask + i * max_boxes);
   }
 }
 
@@ -125,45 +128,46 @@ void assemble_range(const Store& s, const int64_t* image_idx, int64_t lo,
 // rint(v/scale) — the steps.quantize_v contract) so the f32 slab is never
 // materialized; the quantized path writes 4x FEWER bytes than f32
 // assembly.  Padded boxes emit q=0, scale=1.
+inline void assemble_one_q8(const Store& s, int64_t img, int64_t max_boxes,
+                            int8_t* v_row, float* sc_row, float* b_row,
+                            uint8_t* m_row) {
+  int64_t start, count;
+  if (s.pos_boxes != nullptr) {
+    start = s.pos_boxes[2 * img];
+    count = s.pos_boxes[2 * img + 1] - start;
+  } else {
+    start = img * s.fixed_boxes;
+    count = s.fixed_boxes;
+  }
+  if (count > max_boxes) count = max_boxes;
+
+  if (s.features_q != nullptr) {
+    // int8-resident store: the rows ARE the wire bytes — pure memcpy
+    std::memcpy(v_row, s.features_q + start * s.v_dim, count * s.v_dim);
+    std::memcpy(sc_row, s.f_scales + start, count * sizeof(float));
+  } else {
+    for (int64_t box = 0; box < count; ++box) {
+      quantize_row(s.features + (start + box) * s.v_dim, s.v_dim,
+                   v_row + box * s.v_dim, sc_row + box);
+    }
+  }
+  std::memset(v_row + count * s.v_dim, 0, (max_boxes - count) * s.v_dim);
+  std::fill(sc_row + count, sc_row + max_boxes, 1.0f);
+  std::memcpy(b_row, s.spatials + start * s.s_dim,
+              count * s.s_dim * sizeof(float));
+  std::memset(b_row + count * s.s_dim, 0,
+              (max_boxes - count) * s.s_dim * sizeof(float));
+  std::memset(m_row, 1, count);
+  std::memset(m_row + count, 0, max_boxes - count);
+}
+
 void assemble_range_q8(const Store& s, const int64_t* image_idx, int64_t lo,
                        int64_t hi, int64_t max_boxes, int8_t* out_v,
                        float* out_scale, float* out_b, uint8_t* out_mask) {
   for (int64_t i = lo; i < hi; ++i) {
-    const int64_t img = image_idx[i];
-    int64_t start, count;
-    if (s.pos_boxes != nullptr) {
-      start = s.pos_boxes[2 * img];
-      count = s.pos_boxes[2 * img + 1] - start;
-    } else {
-      start = img * s.fixed_boxes;
-      count = s.fixed_boxes;
-    }
-    if (count > max_boxes) count = max_boxes;
-
-    int8_t* v_row = out_v + i * max_boxes * s.v_dim;
-    float* sc_row = out_scale + i * max_boxes;
-    float* b_row = out_b + i * max_boxes * s.s_dim;
-    uint8_t* m_row = out_mask + i * max_boxes;
-
-    if (s.features_q != nullptr) {
-      // int8-resident store: the rows ARE the wire bytes — pure memcpy
-      std::memcpy(v_row, s.features_q + start * s.v_dim, count * s.v_dim);
-      std::memcpy(sc_row, s.f_scales + start, count * sizeof(float));
-    } else {
-      for (int64_t box = 0; box < count; ++box) {
-        quantize_row(s.features + (start + box) * s.v_dim, s.v_dim,
-                     v_row + box * s.v_dim, sc_row + box);
-      }
-    }
-    std::memset(v_row + count * s.v_dim, 0,
-                (max_boxes - count) * s.v_dim);
-    std::fill(sc_row + count, sc_row + max_boxes, 1.0f);
-    std::memcpy(b_row, s.spatials + start * s.s_dim,
-                count * s.s_dim * sizeof(float));
-    std::memset(b_row + count * s.s_dim, 0,
-                (max_boxes - count) * s.s_dim * sizeof(float));
-    std::memset(m_row, 1, count);
-    std::memset(m_row + count, 0, max_boxes - count);
+    assemble_one_q8(s, image_idx[i], max_boxes,
+                    out_v + i * max_boxes * s.v_dim, out_scale + i * max_boxes,
+                    out_b + i * max_boxes * s.s_dim, out_mask + i * max_boxes);
   }
 }
 
@@ -189,8 +193,14 @@ struct Slot {
 // through a row->image table, and assembles feature slabs ahead of
 // consumption.
 struct Loader {
-  Store store;
+  // stores[0] is the classic single-store case; a concat dataset (train +
+  // val + VisualGenome, reference FFOE/dataset.py:483-569 + README.md:49-58)
+  // registers one Store per distinct member FeatureStore and maps each row
+  // through row_to_store (empty => all rows store 0).
+  std::vector<Store> stores;
+  Store store;                        // alias of stores[0] (v_dim/s_dim)
   std::vector<int64_t> row_to_image;  // per dataset row
+  std::vector<int32_t> row_to_store;  // per dataset row, may be empty
   int64_t batch_size;
   int64_t max_boxes;
   bool drop_last;
@@ -232,8 +242,11 @@ struct Loader {
         s.rows = rows;
         std::copy(order.begin() + at, order.begin() + at + rows, s.indices);
         std::vector<int64_t> images(rows);
-        for (int64_t i = 0; i < rows; ++i)
+        std::vector<int32_t> srcs(rows, 0);
+        for (int64_t i = 0; i < rows; ++i) {
           images[i] = row_to_image[s.indices[i]];
+          if (!row_to_store.empty()) srcs[i] = row_to_store[s.indices[i]];
+        }
         // zero the padded tail rows (partial final batch)
         if (rows < batch_size) {
           const int64_t tail = batch_size - rows;
@@ -251,12 +264,22 @@ struct Loader {
           std::memset(s.mask + rows * max_boxes, 0, tail * max_boxes);
         }
         auto assemble = [&](int64_t lo, int64_t hi) {
-          if (quantize) {
-            assemble_range_q8(store, images.data(), lo, hi, max_boxes, s.v_q,
-                              s.v_scale, s.b, s.mask);
-          } else {
-            assemble_range(store, images.data(), lo, hi, max_boxes, s.v, s.b,
-                           s.mask);
+          // per-row store dispatch (all stores share v_dim/s_dim, enforced
+          // by the Python binding, so output strides are uniform)
+          for (int64_t i = lo; i < hi; ++i) {
+            const Store& st = stores[srcs[i]];
+            if (quantize) {
+              assemble_one_q8(st, images[i], max_boxes,
+                              s.v_q + i * max_boxes * st.v_dim,
+                              s.v_scale + i * max_boxes,
+                              s.b + i * max_boxes * st.s_dim,
+                              s.mask + i * max_boxes);
+            } else {
+              assemble_one(st, images[i], max_boxes,
+                           s.v + i * max_boxes * st.v_dim,
+                           s.b + i * max_boxes * st.s_dim,
+                           s.mask + i * max_boxes);
+            }
           }
         };
         if (assemble_threads <= 1 || rows < 8) {
@@ -339,7 +362,32 @@ void* vqadata_loader_create(void* store_handle, const int64_t* row_to_image,
                             int64_t assemble_threads) {
   auto* l = new Loader();
   l->store = *static_cast<Store*>(store_handle);
+  l->stores.push_back(l->store);
   l->row_to_image.assign(row_to_image, row_to_image + n_rows);
+  l->batch_size = batch_size;
+  l->max_boxes = max_boxes;
+  l->drop_last = drop_last != 0;
+  l->assemble_threads = assemble_threads;
+  l->worker = std::thread([l] { l->run(); });
+  return l;
+}
+
+// Multi-store loader for concatenated datasets: `store_handles` lists the
+// distinct member FeatureStores (must share v_dim/s_dim), `row_to_store`
+// maps each dataset row to its store, `row_to_image` to the image index
+// WITHIN that store.
+void* vqadata_loader_create_multi(void* const* store_handles,
+                                  int64_t n_stores,
+                                  const int64_t* row_to_image,
+                                  const int32_t* row_to_store, int64_t n_rows,
+                                  int64_t batch_size, int64_t max_boxes,
+                                  int drop_last, int64_t assemble_threads) {
+  auto* l = new Loader();
+  for (int64_t i = 0; i < n_stores; ++i)
+    l->stores.push_back(*static_cast<Store*>(store_handles[i]));
+  l->store = l->stores[0];
+  l->row_to_image.assign(row_to_image, row_to_image + n_rows);
+  l->row_to_store.assign(row_to_store, row_to_store + n_rows);
   l->batch_size = batch_size;
   l->max_boxes = max_boxes;
   l->drop_last = drop_last != 0;

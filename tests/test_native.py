@@ -75,6 +75,73 @@ def test_native_loader_shuffle_order_matches_python(dataset):
         nat.close()
 
 
+def test_native_loader_concat_use_both_vg(tmp_path_factory):
+    """The paper's headline ``--use_both --use_vg`` config (train + val +
+    VisualGenome concat, reference README.md:49-58 + FFOE/dataset.py:483-569)
+    must ride the native loader, not silently drop to the ~5x-slower Python
+    path (r3 verdict item 3).  Per-row (store, image) indirection in the C++
+    runtime; VG members share the VQA stores, so 4 members -> 2 registered
+    stores.  Order contract: byte-identical shuffled batch sequences to
+    BatchLoader across epochs."""
+    from vqatpu.data import ConcatDataset, VisualGenomeFeatureDataset
+    from vqatpu.data.synthetic import add_visualgenome_fixture
+
+    root = str(tmp_path_factory.mktemp("native_concat"))
+    d = make_vqa_fixture(root, n_train=24, n_val=16, n_images=8, v_dim=16)
+    add_visualgenome_fixture(root)
+    train = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    val = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    vg_t = VisualGenomeFeatureDataset("train", train.store, d, dataroot=root,
+                                      max_boxes=12,
+                                      img_id2idx=train.img_id2idx)
+    vg_v = VisualGenomeFeatureDataset("val", val.store, d, dataroot=root,
+                                      max_boxes=12, img_id2idx=val.img_id2idx)
+    ds = ConcatDataset([train, val, vg_t, vg_v])
+
+    py = BatchLoader(ds, batch_size=8, shuffle=True, seed=5, drop_last=True)
+    nat = native.NativeBatchLoader(ds, batch_size=8, shuffle=True, seed=5,
+                                   drop_last=True)
+    assert len(nat.stores) == 2  # deduped: VG shares the VQA stores
+    try:
+        for _ in range(2):
+            for pb, nb in zip(py, nat):
+                assert set(pb) == set(nb)
+                for k in pb:
+                    np.testing.assert_array_equal(pb[k], nb[k], err_msg=k)
+    finally:
+        nat.close()
+
+
+def test_native_loader_concat_q8(tmp_path_factory):
+    """Concat + quantize-on-assembly (int8 wire) through the multi-store
+    dispatch: equal to Python assembly + quantize_v."""
+    from vqatpu.data import ConcatDataset, VisualGenomeFeatureDataset
+    from vqatpu.data.synthetic import add_visualgenome_fixture
+    from vqatpu.train.steps import quantize_v
+
+    root = str(tmp_path_factory.mktemp("native_concat_q8"))
+    d = make_vqa_fixture(root, n_train=24, n_val=16, n_images=8, v_dim=16)
+    add_visualgenome_fixture(root)
+    train = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    vg_t = VisualGenomeFeatureDataset("train", train.store, d, dataroot=root,
+                                      max_boxes=12,
+                                      img_id2idx=train.img_id2idx)
+    ds = ConcatDataset([train, vg_t])
+
+    py = BatchLoader(ds, batch_size=8, shuffle=True, seed=9, drop_last=True)
+    nat = native.NativeBatchLoader(ds, batch_size=8, shuffle=True, seed=9,
+                                   drop_last=True, quantize=True)
+    try:
+        for pb, nb in zip(py, nat):
+            qv, qs = quantize_v(pb["v"])
+            np.testing.assert_array_equal(nb["v"], qv)
+            np.testing.assert_array_equal(nb["v_scale"], qs)
+            np.testing.assert_array_equal(nb["b"], pb["b"])
+            np.testing.assert_array_equal(nb["qid"], pb["qid"])
+    finally:
+        nat.close()
+
+
 def test_native_loader_batches_survive_slot_recycle(dataset):
     """JAX on CPU aliases numpy buffers ZERO-COPY (device_put/jit arguments
     share memory with the source array).  A yielded batch therefore must

@@ -373,6 +373,12 @@ class ConcatDataset:
     def v_dim(self):
         return self.datasets[0].v_dim
 
+    @property
+    def max_boxes(self):
+        mb = {d.max_boxes for d in self.datasets}
+        assert len(mb) == 1, f"members disagree on max_boxes: {mb}"
+        return mb.pop()
+
     def sample(self, index: int) -> dict:
         d = int(np.searchsorted(self._offsets, index, "right")) - 1
         return self.datasets[d].sample(index - int(self._offsets[d]))

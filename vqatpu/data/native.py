@@ -58,6 +58,11 @@ def _load_library():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.vqadata_loader_destroy.argtypes = [ctypes.c_void_p]
     try:  # newer symbols — tolerate a stale prebuilt .so
+        lib.vqadata_loader_create_multi.restype = ctypes.c_void_p
+        lib.vqadata_loader_create_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64]
         lib.vqadata_quantize_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
@@ -234,21 +239,49 @@ class NativeBatchLoader:
         lib = _load_library()
         assert lib is not None, "libvqadata.so unavailable"
         self._lib = lib
-        self.store = NativeFeatureStore(dataset.store)
+        # ConcatDataset (train + val + VisualGenome, the reference's
+        # `--use_both --use_vg` headline config, README.md:49-58): one
+        # NativeFeatureStore per DISTINCT member store (VG shares the VQA
+        # stores, so 4 members -> 2 stores in practice) and per-row
+        # (store, image) indirection in the C++ loader.
+        members = list(getattr(dataset, "datasets", [])) or [dataset]
+        self.stores = []
+        member_store = []
+        store_index: Dict[int, int] = {}
+        for d in members:
+            key = id(d.store)
+            if key not in store_index:
+                store_index[key] = len(self.stores)
+                self.stores.append(NativeFeatureStore(d.store))
+            member_store.append(store_index[key])
+        self.store = self.stores[0]
+        assert all(s.v_dim == self.store.v_dim and s.s_dim == self.store.s_dim
+                   for s in self.stores), "member stores must share v/s dims"
         self.max_boxes = dataset.max_boxes
 
         n = len(dataset)
-        self._row_to_image = np.asarray(
-            [dataset.entries[i]["image"] for i in range(n)], np.int64)
-        # precompute small fields once (dense, cheap) — via sample_fields
-        # when the dataset offers it, so construction never runs the full
-        # store.get gather+pad pass it exists to replace
-        fields_fn = getattr(dataset, "sample_fields", None)
-        if fields_fn is None:
-            def fields_fn(i):
-                return {k: v for k, v in dataset.sample(i).items()
-                        if k not in ("v", "b", "v_mask")}
-        rows = [fields_fn(i) for i in range(n)]
+        self._row_to_image = np.empty(n, np.int64)
+        self._row_to_store = np.empty(n, np.int32)
+        rows = []
+        off = 0
+        for mi, d in enumerate(members):
+            m = len(d)
+            self._row_to_image[off:off + m] = [
+                d.entries[i]["image"] for i in range(m)]
+            self._row_to_store[off:off + m] = member_store[mi]
+            # precompute small fields once (dense, cheap) — via
+            # sample_fields when the member offers it, so construction never
+            # runs the full store.get gather+pad pass it exists to replace
+            fields_fn = getattr(d, "sample_fields", None)
+            if fields_fn is None:
+                def fields_fn(i, _d=d):
+                    return {k: v for k, v in _d.sample(i).items()
+                            if k not in ("v", "b", "v_mask")}
+            rows.extend(fields_fn(i) for i in range(m))
+            off += m
+        keys = set(rows[0])
+        assert all(set(r) == keys for r in rows), \
+            "concat members must expose identical per-row fields"
         self._fields: Dict[str, np.ndarray] = {
             key: np.stack([r[key] for r in rows], 0) for key in rows[0]}
 
@@ -257,9 +290,19 @@ class NativeBatchLoader:
             # C Loader and its (parked) worker thread on every fallback
             assert hasattr(lib, "vqadata_loader_set_quantize"), \
                 "stale libvqadata.so: rebuild with `make -C native`"
-        self._handle = lib.vqadata_loader_create(
-            self.store._handle, _ptr(self._row_to_image), n, batch_size,
-            self.max_boxes, int(drop_last), assemble_threads)
+        if len(self.stores) == 1:
+            self._handle = lib.vqadata_loader_create(
+                self.store._handle, _ptr(self._row_to_image), n, batch_size,
+                self.max_boxes, int(drop_last), assemble_threads)
+        else:
+            assert hasattr(lib, "vqadata_loader_create_multi"), \
+                "stale libvqadata.so: rebuild with `make -C native`"
+            handles = (ctypes.c_void_p * len(self.stores))(
+                *[s._handle for s in self.stores])
+            self._handle = lib.vqadata_loader_create_multi(
+                handles, len(self.stores), _ptr(self._row_to_image),
+                _ptr(self._row_to_store), n, batch_size, self.max_boxes,
+                int(drop_last), assemble_threads)
         if quantize:
             # int8 quantize-on-assembly (transfer_dtype="int8" wire): the
             # worker quantizes each box row straight out of the store
