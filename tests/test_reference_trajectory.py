@@ -26,8 +26,13 @@ and inverted-dropout scaling.  Asserts:
 
 Update cadence note: the reference flushes accumulation on the batch with
 ``i == int(N/B+1) - 1`` (``FFOE/train.py:61,78``), an index its loader never
-reaches when B divides N — so both runs here use ``update_freq | batches
-per epoch``, where the cadences provably coincide.
+reaches when B divides N — most runs here use ``update_freq | batches per
+epoch``, where the cadences provably coincide.  The NON-divisible case
+(partial final batch, where the reference's end-of-epoch force-flush
+actually fires, possibly mid-accumulation-window) is exercised by
+``test_cti_nondivisible_flush_trajectory``: B ∤ N and update_freq ∤
+batches/epoch, matching vqatpu's ``force`` flush on each epoch's last batch
+(``train/loop.py``).
 """
 
 import os
@@ -192,22 +197,26 @@ def _make_pair(ref, model_name: str, use_counter: bool,
     return model_j, state, model_t
 
 
-def _make_batches(seed: int, n_epochs: int):
+def _make_batches(seed: int, n_epochs: int, tail: int = 0):
+    """``tail`` > 0 appends one PARTIAL batch of that many rows per epoch —
+    the non-divisible (B ∤ N) regime where the reference's
+    ``i == int(N/B+1)-1`` end-of-epoch flush (FFOE/train.py:61,78) fires."""
     rng = np.random.RandomState(seed)
     per_epoch = []
     for _ in range(n_epochs):
         batches = []
-        for _ in range(L):
-            v = rng.randn(B, V, V_DIM).astype(np.float32)
+        sizes = [B] * L + ([tail] if tail else [])
+        for nb in sizes:
+            v = rng.randn(nb, V, V_DIM).astype(np.float32)
             v[:, V - 1:] = 0.0  # padded box rows (mask inference path)
             batches.append(dict(
                 v=v,
-                b=np.abs(rng.randn(B, V, 6)).astype(np.float32),
+                b=np.abs(rng.randn(nb, V, 6)).astype(np.float32),
                 # high=NTOKEN+1 ⇒ pad index occurs (pad-row grad semantics)
-                q=rng.randint(0, NTOKEN + 1, (B, Q)).astype(np.int64),
-                a=rng.randint(0, NTOKEN + 1, (B, A)).astype(np.int64),
-                target=rng.rand(B, NUM_ANS).astype(np.float32),
-                t_logits=rng.randn(B, NUM_ANS).astype(np.float32),
+                q=rng.randint(0, NTOKEN + 1, (nb, Q)).astype(np.int64),
+                a=rng.randint(0, NTOKEN + 1, (nb, A)).astype(np.int64),
+                target=rng.rand(nb, NUM_ANS).astype(np.float32),
+                t_logits=rng.randn(nb, NUM_ANS).astype(np.float32),
             ))
         per_epoch.append(batches)
     return per_epoch
@@ -242,13 +251,13 @@ class _EpochLoader:
             ])
         return iter([
             (t(b["v"]), t(b["b"]), t(b["q"]), t(b["target"]), t(b["a"]),
-             torch.zeros(B), t(b["t_logits"]))
+             torch.zeros(len(b["v"])), t(b["t_logits"]))
             for b in batches
         ])
 
 
 def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
-                   pipeline="ffoe", recorder=None):
+                   pipeline="ffoe", recorder=None, n_samples=None):
     """Drive the reference's own composed train() loop (FFOE or MC),
     recording every microbatch loss, every update's pre-clip grad norm, and
     the live optimizer lr at each step.  ``recorder`` (a
@@ -280,7 +289,7 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
     if recorder is not None:
         F.dropout = recorder
     try:
-        loader = _EpochLoader(per_epoch, n_samples=L * B,
+        loader = _EpochLoader(per_epoch, n_samples=n_samples or (L * B),
                               mc=(pipeline == "mc"))
         train_mod.train(args, model_t, loader, None, num_epochs, outdir)
     finally:
@@ -290,7 +299,7 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
 
 
 def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
-                update_freq, mask_lists=None):
+                update_freq, mask_lists=None, force_last=False):
     """``mask_lists``: per-microbatch lists of captured torch dropout masks
     (from :class:`_TorchMaskRecorder`); when given, the run goes
     dropout-ACTIVE, replaying the reference's exact masks through a
@@ -316,12 +325,16 @@ def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
     with eager:
         for epoch in range(num_epochs):
             lr = lr_for_epoch(tcfg, epoch)
-            for batch in per_epoch[epoch]:
+            n_batches = len(per_epoch[epoch])
+            for i, batch in enumerate(per_epoch[epoch]):
                 db = {k: jnp.asarray(v) for k, v in batch.items()
                       if k in ("v", "b", "q", "a", "target", "t_logits")}
                 if mask_iter is not None:
                     holder["src"] = MaskSource(next(mask_iter))
-                state, metrics = step(state, db, jnp.float32(lr), key, False)
+                # mirror train/loop.py's epoch-end flush (the reference's
+                # i == int(N/B+1)-1, FFOE/train.py:61,78)
+                force = force_last and update_freq > 1 and i == n_batches - 1
+                state, metrics = step(state, db, jnp.float32(lr), key, force)
                 if mask_iter is not None:
                     # every captured torch mask must have been consumed by a
                     # matching vqatpu dropout site (placement parity)
@@ -335,26 +348,33 @@ def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
 
 def _assert_trajectory(ref, model_name, distillation, use_counter, tmp_path,
                        num_epochs=3, update_freq=2, param_tol=2e-4,
-                       dropout_active=False):
+                       dropout_active=False, tail=0):
     model_j, state, model_t = _make_pair(ref, model_name, use_counter,
                                          zero_dropout=not dropout_active)
-    per_epoch = _make_batches(seed=7, n_epochs=num_epochs)
+    per_epoch = _make_batches(seed=7, n_epochs=num_epochs, tail=tail)
+    batches_per_epoch = L + (1 if tail else 0)
 
     args = _args(model_name, distillation=distillation,
                  use_counter=use_counter, update_freq=update_freq)
     recorder = _TorchMaskRecorder() if dropout_active else None
+    # the reference reads N = len(loader.dataset) to locate its end-of-epoch
+    # flush batch (train.py:61); with a partial tail batch, B no longer
+    # divides N and int(N/B+1)-1 lands on the LAST loader index.
+    n_samples = L * B + tail
     ref_losses, ref_norms, ref_lrs = _run_reference(
         ref, args, model_t, per_epoch, num_epochs, str(tmp_path / "ref"),
-        recorder=recorder)
+        recorder=recorder, n_samples=n_samples)
     if dropout_active:
         assert any(masks for masks in recorder.per_forward), \
             "dropout-active run captured no masks"
     state, j_losses, j_norms, j_lrs = _run_vqatpu(
         model_j, state, per_epoch, num_epochs, distillation, update_freq,
-        mask_lists=recorder.per_forward if dropout_active else None)
+        mask_lists=recorder.per_forward if dropout_active else None,
+        force_last=bool(tail))
 
-    assert len(ref_losses) == len(j_losses) == num_epochs * L
-    assert len(ref_norms) == len(j_norms) == num_epochs * L // update_freq
+    updates_per_epoch = -(-batches_per_epoch // update_freq)  # ceil w/ flush
+    assert len(ref_losses) == len(j_losses) == num_epochs * batches_per_epoch
+    assert len(ref_norms) == len(j_norms) == num_epochs * updates_per_epoch
     np.testing.assert_allclose(j_lrs, ref_lrs, rtol=0,
                                err_msg="lr schedule diverged")
     np.testing.assert_allclose(j_losses, ref_losses, rtol=1e-4, atol=1e-5,
@@ -384,6 +404,19 @@ def test_ban_counter_kd_trajectory_matches_reference(ref, tmp_path):
     """BAN + counter branch + distillation criterion, every-step updates."""
     _assert_trajectory(ref, "ban", distillation=True, use_counter=True,
                        tmp_path=tmp_path, update_freq=1)
+
+
+def test_cti_nondivisible_flush_trajectory(ref, tmp_path):
+    """The reference's end-of-epoch accumulation flush in the NON-divisible
+    case (B ∤ N): 5 batches/epoch (4 full + 1 partial of 4 rows), N = 36,
+    so ``int(N/B+1)-1 == 4`` — the last batch forces an update with a
+    single buffered microbatch (grad_denom 1), mid-accumulation-window
+    (update_freq=2 ∤ 5).  Matches vqatpu's ``force`` flush on each epoch's
+    last batch (train/loop.py) — the one cadence class r3's oracle never
+    executed (FFOE/train.py:61,78-82)."""
+    _assert_trajectory(ref, "cti", distillation=False, use_counter=False,
+                       tmp_path=tmp_path, num_epochs=2, update_freq=2,
+                       tail=4)
 
 
 def test_cti_dropout_active_trajectory_matches_reference(ref, tmp_path):
