@@ -206,6 +206,15 @@ def test_ffoe_test_raw_logits_dump(tmp_path):
                                   "logits1.npz"))
     np.testing.assert_array_equal(member["logits"], raw["logits"])
 
+    # re-dumping the same label/index (member paths carry no split
+    # component, mirroring the reference) must refuse, not clobber
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        ffoe_test.main([
+            "--model", "ban", "--dataroot", root, *SMALL, "--split", "val",
+            "--input", out, "--epoch", "0", "--results", res,
+            "--logits", "1", "--label", "ens", "--index", "1",
+        ])
+
 
 def test_ffoe_train_use_both_vg_cli(tmp_path):
     """--use_both --use_vg trains on the train+val+VG concat (reference
@@ -279,6 +288,16 @@ def test_ensemble_cli(tmp_path):
     np.savez(bad, logits=logits[0], question_ids=qids + 1)
     with pytest.raises(ValueError, match="question_ids differ"):
         ensemble.main(["--inputs", members[0], bad, "--dataroot", root,
+                       "--results", res])
+
+    # duplicate qids within one dump (e.g. concatenated dumps) must raise:
+    # stable argsort would align the duplicates arbitrarily and average
+    # misaligned rows silently
+    dup = str(tmp_path / "dup.npz")
+    np.savez(dup, logits=np.concatenate([logits[0], logits[0][:1]]),
+             question_ids=np.concatenate([qids, qids[:1]]))
+    with pytest.raises(ValueError, match="duplicate question_ids"):
+        ensemble.main(["--inputs", dup, "--dataroot", root,
                        "--results", res])
 
 

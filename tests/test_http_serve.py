@@ -42,6 +42,20 @@ def test_healthz(server):
     assert out == {"status": "ok", "model": "cti"}
 
 
+def test_answer_mc_rejected_on_ffoe_server(server, rng):
+    """/answer_mc against an FFOE session must 400, not compute a
+    meaningless class-0 softmax over the answer vocabulary (r3 ADVICE)."""
+    payload = {
+        "features": rng.randn(1, 6, V_DIM).astype(np.float32).tolist(),
+        "question_tokens": rng.randint(0, 30, (1, 12)).tolist(),
+        "mc_answers": [["red", "blue", "green", "dog"]],
+    }
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post("/answer_mc", payload)
+    assert ei.value.code == 400
+    assert "--task mc" in json.loads(ei.value.read())["error"]
+
+
 def test_answer_endpoint(server, rng):
     n = 3
     payload = {
@@ -84,7 +98,7 @@ def test_answer_mc_endpoint(tmp_path_factory, rng):
     d = Dictionary()
     d.tokenize("what color is the cat dog red blue green", add_word=True)
     port = PORT + 4
-    srv = serve_in_thread(sess, d, "tan", port)
+    srv = serve_in_thread(sess, d, "tan", port, task="mc")
     try:
         n, c = 2, 4
         feats = rng.randn(n, 6, V_DIM).astype(np.float32).tolist()

@@ -230,6 +230,31 @@ def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
     )
 
 
+def test_restore_wrong_model_checkpoint_is_descriptive(tmp_path):
+    """A checkpoint saved from one model family restored into another must
+    fail with a clear 'incompatible checkpoint' error naming the saved model
+    and the structural mismatch — not a raw pytree 'Dict key mismatch' or a
+    downstream KeyError (r3 ADVICE/verdict item)."""
+    import pytest
+
+    ban_state = make_train_state(build_model(tiny_cfg(model="ban")),
+                                 jax.random.PRNGKey(0))
+    cti = build_model(tiny_cfg(model="cti"))
+    cti_state = make_train_state(cti, jax.random.PRNGKey(0))
+    path = str(tmp_path / "model_epoch9.ckpt")
+    save_checkpoint(path, ban_state, epoch=9, extra={"model": "ban"})
+    with pytest.raises(ValueError, match="incompatible checkpoint.*'ban'"):
+        restore_train_state(path, cti_state)
+    # same-structure wrong-dims stays on the per-leaf shape message
+    big_state = make_train_state(build_model(tiny_cfg(model="cti",
+                                                      num_hid=24)),
+                                 jax.random.PRNGKey(0))
+    path2 = str(tmp_path / "model_epoch8.ckpt")
+    save_checkpoint(path2, big_state, epoch=8)
+    with pytest.raises(ValueError, match="incompatible checkpoint.*shape"):
+        restore_train_state(path2, cti_state)
+
+
 def test_eval_step_bfloat16(rng):
     """bf16 eval (the BAN serving/eval throughput knob) returns f32 logits
     close to the f32 path and identical argmax on well-separated logits."""

@@ -79,6 +79,13 @@ def main(argv=None):
                 f"{args.model}{args.op}{args.num_hid}_{args.label}")
             os.makedirs(member_dir, exist_ok=True)
             raw = os.path.join(member_dir, f"logits{args.index}.npz")
+            # the member path mirrors the reference layout (no split
+            # component, test.py:172-175) — so dumping a second split at the
+            # same label/index would silently clobber the first; refuse
+            if os.path.exists(raw):
+                raise SystemExit(
+                    f"refusing to overwrite {raw}: pick a different "
+                    "--index (or --label) per member dump")
         else:
             raw = os.path.join(args.results,
                                f"{args.split}_{args.model}_logits.npz")

@@ -81,7 +81,7 @@ def build_session(args):
         compute_dtype=getattr(args, "compute_dtype", "float32")), dictionary
 
 
-def make_handler(session, dictionary, model_name: str):
+def make_handler(session, dictionary, model_name: str, task: str = "ffoe"):
     """``session`` may be an InferenceSession or a MicroBatcher wrapping
     one (same answer/logits surface) — with the batcher, concurrent
     requests coalesce into one bucketed predict (ThreadingHTTPServer runs
@@ -118,6 +118,13 @@ def make_handler(session, dictionary, model_name: str):
         def do_POST(self):
             if self.path not in ("/answer", "/logits", "/answer_mc"):
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.path == "/answer_mc" and task != "mc":
+                # against an FFOE checkpoint mc_scores would compute a
+                # meaningless class-0 softmax over the answer vocabulary —
+                # refuse instead of returning plausible-looking scores
+                self._json(400, {"error": "server not started with "
+                                          "--task mc"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -197,14 +204,16 @@ class _Server(ThreadingHTTPServer):
 
 
 def make_server(session, dictionary, model_name: str, port: int,
-                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                host: str = "127.0.0.1",
+                task: str = "ffoe") -> ThreadingHTTPServer:
     return _Server(
-        (host, port), make_handler(session, dictionary, model_name))
+        (host, port), make_handler(session, dictionary, model_name, task))
 
 
 def serve_in_thread(session, dictionary, model_name: str, port: int,
-                    host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    server = make_server(session, dictionary, model_name, port, host)
+                    host: str = "127.0.0.1",
+                    task: str = "ffoe") -> ThreadingHTTPServer:
+    server = make_server(session, dictionary, model_name, port, host, task)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
@@ -243,7 +252,8 @@ def main(argv=None):
 
         session = MicroBatcher(session, max_batch=args.micro_batch,
                                max_wait_ms=args.micro_batch_wait_ms)
-    server = make_server(session, dictionary, args.model, args.port, args.host)
+    server = make_server(session, dictionary, args.model, args.port,
+                         args.host, task=args.task)
     print(f"serving {args.model} on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

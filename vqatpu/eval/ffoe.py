@@ -119,6 +119,11 @@ def ensemble_logits(paths) -> Tuple[np.ndarray, np.ndarray]:
     for p in paths:
         with np.load(p) as d:
             logits, qids = d["logits"], d["question_ids"]
+        if np.unique(qids).size != qids.size:
+            raise ValueError(
+                f"{p}: duplicate question_ids in dump — members align by "
+                "qid, duplicates (e.g. concatenated dumps) would average "
+                "misaligned rows")
         order = np.argsort(qids, kind="stable")
         logits, qids = logits[order], qids[order]
         if ref_qids is None:

@@ -120,6 +120,7 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
     (state, start_epoch).  Structure must match the current model; opt_state
     tolerates the pre-masked-Adamax layout (see :func:`_merge_opt_state`)."""
     payload = load_checkpoint(path)
+    saved_model = (payload.get("extra") or {}).get("model")
 
     def check_and_cast(new, old):
         if np.shape(new) != np.shape(old):
@@ -128,7 +129,22 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
                 f"model shape {np.shape(old)} — wrong model/dims for {path}?")
         return jax.numpy.asarray(new)
 
-    params = jax.tree.map(check_and_cast, payload["params"], state.params)
+    try:
+        params = jax.tree.map(check_and_cast, payload["params"], state.params)
+    except (ValueError, TypeError, KeyError) as e:
+        if str(e).startswith("incompatible checkpoint"):
+            raise  # per-leaf shape mismatch: already descriptive
+        # tree STRUCTURE mismatch (jax's "Dict key mismatch" etc.): name the
+        # models instead of leaking a raw pytree error
+        got = sorted(payload["params"]) if isinstance(payload["params"], dict) \
+            else type(payload["params"]).__name__
+        want = sorted(state.params) if isinstance(state.params, dict) \
+            else type(state.params).__name__
+        raise ValueError(
+            f"incompatible checkpoint {path}: saved from model "
+            f"{saved_model or '<unknown>'!r}, current model expects a "
+            f"different parameter structure (checkpoint modules: {got}; "
+            f"model modules: {want})") from e
     try:
         opt_state = jax.tree.map(check_and_cast, payload["opt_state"],
                                  state.opt_state)

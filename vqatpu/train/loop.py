@@ -347,19 +347,23 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             # writing the global arrays); pickle is process-0-only (state is
             # fully replicated across hosts, so one copy suffices)
             write = cfg.ckpt_backend == "orbax" or primary
+            # stamp the model family so restore can name the mismatch on a
+            # wrong-model resume instead of a raw pytree structure error
+            extra = {"model": getattr(getattr(model, "cfg", None), "model",
+                                      None)}
             if write:
                 _save_ckpt(output, f"model_epoch{epoch}", state, epoch,
-                           cfg.ckpt_backend)
+                           cfg.ckpt_backend, extra=extra)
             if eval_ds is not None and eval_score > best_eval:
                 if write:
                     _save_ckpt(output, "model_epoch_best", state, epoch,
-                               cfg.ckpt_backend)
+                               cfg.ckpt_backend, extra=extra)
                 best_eval = eval_score
     return state
 
 
 def _save_ckpt(output: str, name: str, state: TrainState, epoch: int,
-               backend: str) -> None:
+               backend: str, extra: Optional[dict] = None) -> None:
     if backend == "orbax":
         import shutil
 
@@ -368,4 +372,5 @@ def _save_ckpt(output: str, name: str, state: TrainState, epoch: int,
             shutil.rmtree(path)
         save_checkpoint_orbax(path, state, epoch)
     else:
-        save_checkpoint(os.path.join(output, name + ".ckpt"), state, epoch)
+        save_checkpoint(os.path.join(output, name + ".ckpt"), state, epoch,
+                        extra=extra)
