@@ -138,6 +138,47 @@ def _serve_rows(results):
                               "ms": round(best[suffix] * 1e3, 3),
                               "requests_per_sec": round(n / best[suffix], 1)}
             print(f"{label:22s} {best[suffix] * 1e3:8.2f} ms", flush=True)
+    _serve_by_id_rows(results, model, params)
+
+
+def _serve_by_id_rows(results, model, params):
+    """Serve-by-image-id (r4): features HBM-resident (int8 rows + scales +
+    per-image index table), gathered + dequantized inside the jitted
+    predict — the request moves 200 bytes of row indices per image instead
+    of ~410 KB of f32 features.  These rows bound the wire-free serving
+    floor the upload rows should be compared against."""
+    from vqatpu.data.features import FeatureStore
+    from vqatpu.serve import InferenceSession, ResidentFeatures
+
+    rng = np.random.RandomState(7)
+    n_img, boxes = 256, 50
+    counts = rng.randint(30, boxes + 1, n_img)
+    ends = np.cumsum(counts)
+    store = FeatureStore(
+        rng.randn(int(ends[-1]), 2048).astype(np.float32),
+        rng.rand(int(ends[-1]), 6).astype(np.float32),
+        pos_boxes=np.stack([ends - counts, ends], 1).astype(np.int64))
+    rf = ResidentFeatures(store, {i: i for i in range(n_img)},
+                          max_boxes=boxes)
+    sess = InferenceSession(model, params, ["a"] * 3129,
+                            batch_buckets=(1, 32), max_boxes=boxes)
+    sess.attach_features(rf, placement="device", quantize=True)
+    for n, label in ((1, "serve_by_id_b1"), (32, "serve_by_id_b32")):
+        ids = rng.randint(0, n_img, n)
+        q = rng.randint(0, 20000, (n, 12))
+        a = rng.randint(0, 20000, (n, 3))
+        sess.logits_by_id(ids, q, a)  # compile
+        t_best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                out = sess.logits_by_id(ids, q, a)
+            float(out.sum())  # readback barrier
+            t_best = min(t_best, (time.perf_counter() - t0) / 20)
+        results[label] = {"kind": "serve", "batch": n,
+                          "ms": round(t_best * 1e3, 3),
+                          "requests_per_sec": round(n / t_best, 1)}
+        print(f"{label:22s} {t_best * 1e3:8.2f} ms", flush=True)
 
 
 def main():

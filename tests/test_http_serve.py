@@ -303,3 +303,65 @@ def test_micro_batched_server_concurrent_posts(tmp_path_factory, rng):
     finally:
         srv.shutdown()
         mb.close()
+
+
+def test_answer_by_id_endpoint(tmp_path_factory, rng):
+    """POST /answer_by_id: features resident server-side (device placement,
+    f32 tables) — the request carries only image ids + tokens, and answers
+    match /answer with the same features uploaded (r3 verdict item 6)."""
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.serve import ResidentFeatures
+    from tests.test_serve import make_session
+
+    tmp = tmp_path_factory.mktemp("http_byid")
+    root = str(tmp / "data_vqa")
+    make_vqa_fixture(root, n_train=8, n_val=8, n_images=6, v_dim=V_DIM)
+    sess = make_session(tmp)
+    rf = ResidentFeatures.from_dataroot(root, "val", max_boxes=10)
+    sess.attach_features(rf, placement="device", quantize=False)
+    d = Dictionary()
+    d.tokenize("what color is the cat dog red blue", add_word=True)
+    port = PORT + 7
+    srv = serve_in_thread(sess, d, "cti", port)
+    try:
+        ids = sorted(rf.img_id2idx)[:3]
+        q = rng.randint(0, 30, (3, 12)).tolist()
+        a = rng.randint(0, 30, (3, 3)).tolist()
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        out = post("/answer_by_id", {"image_ids": ids, "question_tokens": q,
+                                     "answer_tokens": a})
+        v, b = rf.gather(ids)
+        want = post("/answer", {"features": v.tolist(), "spatials": b.tolist(),
+                                "question_tokens": q, "answer_tokens": a})
+        assert out["answers"] == want["answers"]
+
+        lg = post("/logits_by_id", {"image_ids": ids, "question_tokens": q,
+                                    "answer_tokens": a})
+        assert np.asarray(lg["logits"]).shape == (3, NUM_ANS)
+
+        # unknown image id -> JSON error, server keeps serving
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer_by_id", {"image_ids": [424242],
+                                   "question_tokens": q[:1]})
+        assert ei.value.code == 400
+        assert "unknown image_id" in json.loads(ei.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_answer_by_id_rejected_without_store(server, rng):
+    """Without --feature_split there is no resident store: 400, not a
+    crash."""
+    payload = {"image_ids": [1], "question_tokens": [[0] * 12]}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post("/answer_by_id", payload)
+    assert ei.value.code == 400
+    assert "--feature_split" in json.loads(ei.value.read())["error"]

@@ -255,3 +255,64 @@ def test_micro_batcher_groups_and_errors(tmp_path, rng):
         assert results["bad"] != "no error"
     finally:
         mb.close()
+
+
+def _by_id_setup(tmp_path, placement, quantize, v_dim=V_DIM):
+    """Session over the synthetic VQA fixture's val store + resident
+    features attached; returns (sess, ids, fixture ResidentFeatures)."""
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.serve import ResidentFeatures
+
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=8, n_val=8, n_images=6, v_dim=v_dim)
+    sess = make_session(tmp_path)
+    rf = ResidentFeatures.from_dataroot(root, "val", max_boxes=10)
+    sess.attach_features(rf, placement=placement, quantize=quantize)
+    ids = sorted(rf.img_id2idx)
+    return sess, ids, rf
+
+
+def test_logits_by_id_device_f32_matches_upload(tmp_path, rng):
+    """Device-resident by-id serving (f32 tables): the jitted on-device
+    gather + mask must reproduce the upload path's logits on the same
+    gathered features — including adaptive per-image box counts padded by
+    the sentinel row (r3 verdict item 6: serve-by-image-id)."""
+    sess, ids, rf = _by_id_setup(tmp_path, "device", quantize=False)
+    n = len(ids)
+    q = rng.randint(0, NTOKEN + 1, (n, 12))
+    a = rng.randint(0, NTOKEN + 1, (n, 3))
+    got = sess.logits_by_id(ids, q, a)
+    v, b = rf.gather(ids)
+    want = sess.logits(v, b, q, a)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert sess.answer_by_id(ids, q, a) == [
+        sess.label2ans[int(i)] for i in want.argmax(1)]
+
+
+def test_logits_by_id_int8_close_and_host_exact(tmp_path, rng):
+    """int8 device tables (the HBM-budget default) stay logit-close to f32;
+    host placement routes through the upload path bit-exactly."""
+    sess, ids, rf = _by_id_setup(tmp_path, "device", quantize=True)
+    n = len(ids)
+    q = rng.randint(0, NTOKEN + 1, (n, 12))
+    a = rng.randint(0, NTOKEN + 1, (n, 3))
+    got8 = sess.logits_by_id(ids, q, a)
+    v, b = rf.gather(ids)
+    want = sess.logits(v, b, q, a)
+    # int8 per-box symmetric quantization: small logit delta (same class
+    # of divergence as --transfer_dtype int8, measured ~2.6e-3 at full
+    # scale in scripts/int8_logit_delta.py)
+    assert np.max(np.abs(got8 - want)) < 0.1
+    assert (got8.argmax(1) == want.argmax(1)).mean() > 0.8
+
+    sess.attach_features(rf, placement="host")
+    np.testing.assert_array_equal(sess.logits_by_id(ids, q, a), want)
+
+
+def test_by_id_unknown_image_raises(tmp_path, rng):
+    import pytest
+
+    sess, ids, rf = _by_id_setup(tmp_path, "device", quantize=False)
+    q = rng.randint(0, NTOKEN + 1, (1, 12))
+    with pytest.raises(KeyError, match="unknown image_id"):
+        sess.logits_by_id([999999], q)

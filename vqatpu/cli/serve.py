@@ -13,6 +13,11 @@ Endpoints:
                      ``mc_tokens [N, C, A]`` or ``mc_answers [N][C]``
                      candidate strings -> per-candidate match scores +
                      picked answers (MC/train.py:14-19 semantics)
+- ``POST /answer_by_id`` / ``/logits_by_id`` (``--feature_split``): body
+                     {"image_ids": [N], "question_tokens" | "questions",
+                     "answer_tokens"?} — features stay server-resident
+                     (HBM by default), so the request wire carries no
+                     feature payload at all
 
 Both POST endpoints also accept ``Content-Type: application/x-npz``: the
 body is ``np.savez`` bytes with the same keys as the JSON form (arrays
@@ -105,6 +110,33 @@ def make_handler(session, dictionary, model_name: str, task: str = "ffoe"):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _by_id(self):
+            """POST /answer_by_id | /logits_by_id: features stay server-
+            resident (``--feature_split``); body carries only
+            ``{"image_ids": [N], "question_tokens" | "questions",
+            "answer_tokens"?}`` — ~100 bytes/question instead of ~2 MB of
+            features per b32 request (the upload endpoints' dominant term)."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                ids = req["image_ids"]
+                if "question_tokens" in req:
+                    q = np.asarray(req["question_tokens"], np.int32)
+                else:
+                    q = np.asarray([dictionary.tokenize_padded(s, 12)
+                                    for s in req["questions"]], np.int32)
+                a = req.get("answer_tokens")
+                a = None if a is None else np.asarray(a, np.int32)
+                t0 = time.perf_counter()
+                if self.path == "/answer_by_id":
+                    out = {"answers": session.answer_by_id(ids, q, a)}
+                else:
+                    out = {"logits": session.logits_by_id(ids, q, a).tolist()}
+                out["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+                self._json(200, out)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
         def _npz(self, arrays: dict):
             buf = io.BytesIO()
             np.savez(buf, **arrays)
@@ -116,8 +148,16 @@ def make_handler(session, dictionary, model_name: str, task: str = "ffoe"):
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path not in ("/answer", "/logits", "/answer_mc"):
+            if self.path not in ("/answer", "/logits", "/answer_mc",
+                                 "/answer_by_id", "/logits_by_id"):
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.path.endswith("_by_id"):
+                if getattr(session, "features", None) is None:
+                    self._json(400, {"error": "server not started with "
+                                              "--feature_split"})
+                    return
+                self._by_id()
                 return
             if self.path == "/answer_mc" and task != "mc":
                 # against an FFOE checkpoint mc_scores would compute a
@@ -232,6 +272,25 @@ def main(argv=None):
                         choices=("ffoe", "mc"),
                         help="mc serves a Visual7W 2-class checkpoint; "
                              "POST /answer_mc with per-request candidates")
+    parser.add_argument("--feature_split", type=str, default=None,
+                        help="serve POST /answer_by_id from a server-"
+                             "resident feature store: the split "
+                             "({split}.hdf5 + {split}_imgid2idx.pkl under "
+                             "--dataroot) whose images requests may "
+                             "reference by id — requests then carry ids + "
+                             "tokens only, no feature payload")
+    parser.add_argument("--feature_placement", type=str, default="device",
+                        choices=("device", "host"),
+                        help="device: the whole store lives in HBM (int8 "
+                             "rows + dequant scales by default) and the "
+                             "jitted predict gathers on device — zero "
+                             "per-request feature transfer; host: gather "
+                             "in host RAM, features still cross "
+                             "host->device per request (low-HBM fallback)")
+    parser.add_argument("--feature_f32", action="store_true", default=False,
+                        help="keep device-placed features float32 (4x the "
+                             "HBM of the int8 default; bit-exact with the "
+                             "upload path)")
     parser.add_argument("--micro_batch", type=int, default=0,
                         help="coalesce concurrent requests into one "
                              "predict of up to this many rows (0 = off); "
@@ -247,6 +306,17 @@ def main(argv=None):
     validate_args(args)
 
     session, dictionary = build_session(args)
+    if args.feature_split:
+        from vqatpu.serve import ResidentFeatures
+
+        rf = ResidentFeatures.from_dataroot(
+            args.dataroot, args.feature_split, max_boxes=args.max_boxes,
+            quantize=args.quantize_store)
+        session.attach_features(rf, placement=args.feature_placement,
+                                quantize=not args.feature_f32)
+        print(f"by-id serving: {args.feature_split} features "
+              f"({len(rf.img_id2idx)} images) resident on "
+              f"{args.feature_placement}")
     if args.micro_batch > 0:
         from vqatpu.serve import MicroBatcher
 

@@ -19,6 +19,8 @@ Usage::
 from __future__ import annotations
 
 import bisect
+import os
+import pickle
 import queue
 import threading
 import time
@@ -32,6 +34,128 @@ import jax.numpy as jnp
 from vqatpu.config import ModelConfig
 from vqatpu.models import build_model
 from vqatpu.train.checkpoints import load_checkpoint
+
+
+class ResidentFeatures:
+    """Server-resident image features for by-id serving.
+
+    The upload endpoints mirror the reference's offline-sweep calling
+    convention (``FFOE/test.py:78-111``): every request ships its own
+    ``[N, boxes, 2048]`` feature tensor — ~2 MB per 32-row request and the
+    dominant serving term (BENCH_MATRIX serve rows: b32 fast8 169 ms vs
+    ~7.7 ms compute).  By-id serving keeps the features server-side and a
+    request carries only image ids + question tokens:
+
+    - ``placement="host"``: the store stays in host RAM; each request
+      gathers + pads on host and still pays the host->device feature copy.
+    - ``placement="device"`` (the TPU-native mode): the WHOLE store lives
+      in HBM — int8 box rows + per-row dequant scales + a per-image
+      ``[max_boxes]`` row-index table — and the jitted predict gathers and
+      dequantizes ON DEVICE.  Per request, the only feature-sized traffic
+      anywhere is the HBM gather itself; the wire moves ~200 bytes of row
+      indices per image.  (VQA-2.0 val at 2048-d adaptive boxes is ~5 GB
+      int8 — fits v5e HBM next to the 53M-param model; f32 would not.)
+    """
+
+    def __init__(self, store, img_id2idx: dict, max_boxes: int = 50):
+        self.store = store
+        self.img_id2idx = img_id2idx
+        self.max_boxes = max_boxes
+
+    @classmethod
+    def from_dataroot(cls, dataroot: str, split: str = "val",
+                      max_boxes: int = 50,
+                      quantize: bool = False) -> "ResidentFeatures":
+        """Load ``{split}_imgid2idx.pkl`` + ``{split}.hdf5``/``.npz`` (the
+        adaptive layout, ``data/datasets.py``), falling back to the fixed-36
+        ``{split}36`` naming.  ``quantize`` keeps the resident features int8
+        (identical semantics to ``--quantize_store``)."""
+        from vqatpu.data.features import FeatureStore
+
+        for suffix, adaptive in (("", True), ("36", False)):
+            idx_path = os.path.join(dataroot, f"{split}{suffix}_imgid2idx.pkl")
+            if not os.path.exists(idx_path):
+                continue
+            with open(idx_path, "rb") as f:
+                img_id2idx = pickle.load(f)
+            h5 = os.path.join(dataroot, f"{split}{suffix}.hdf5")
+            if os.path.exists(h5):
+                store = FeatureStore.from_hdf5(h5, adaptive=adaptive,
+                                               quantize=quantize)
+            else:
+                store = FeatureStore.from_npz(
+                    os.path.join(dataroot, f"{split}{suffix}.npz"))
+                if quantize:
+                    store = store.quantize()
+            return cls(store, img_id2idx, max_boxes)
+        raise FileNotFoundError(
+            f"no {split}_imgid2idx.pkl or {split}36_imgid2idx.pkl under "
+            f"{dataroot}")
+
+    def image_index(self, image_ids: Sequence[int]) -> np.ndarray:
+        try:
+            return np.asarray([self.img_id2idx[int(i)] for i in image_ids],
+                              np.int64)
+        except KeyError as e:
+            raise KeyError(f"unknown image_id {e.args[0]} — not in this "
+                           "split's imgid2idx") from None
+
+    def gather(self, image_ids: Sequence[int]):
+        """Host gather+pad: -> (v [N, max_boxes, v_dim] f32,
+        b [N, max_boxes, s_dim] f32)."""
+        vs, bs = [], []
+        for idx in self.image_index(image_ids):
+            v, b, _ = self.store.get(int(idx), self.max_boxes)
+            vs.append(v)
+            bs.append(b)
+        return np.stack(vs, 0), np.stack(bs, 0)
+
+    def device_tables(self, quantize: bool = True):
+        """Build the HBM-resident gather tables.
+
+        -> ``(feats, scales, spats, rows_table, sentinel)`` where ``feats``
+        is ``[T+1, v_dim]`` int8 (or f32 when ``quantize=False`` on an f32
+        store), ``scales`` ``[T+1]`` f32 or None, ``spats`` ``[T+1, s_dim]``
+        f32, and ``rows_table`` is a HOST ``[n_images, max_boxes]`` int32
+        table of flat row indices (padded with ``sentinel = T``, a zero
+        row).  The jitted predict receives ``rows_table[image_index]`` and
+        does ``feats[rows]`` on device."""
+        from vqatpu.data.features import _quantize_rows
+
+        s = self.store
+        if s.adaptive:
+            flat_f, flat_sp = np.asarray(s.features), np.asarray(s.spatials)
+            scales = s.feat_scales
+        else:
+            f = np.asarray(s.features)
+            flat_f = f.reshape(-1, f.shape[-1])
+            flat_sp = np.asarray(s.spatials).reshape(-1, s.s_dim)
+            scales = (None if s.feat_scales is None
+                      else np.asarray(s.feat_scales).reshape(-1))
+        if quantize and scales is None:
+            flat_f, scales = _quantize_rows(flat_f)
+        T = flat_f.shape[0]
+        pad_dtype = flat_f.dtype
+        feats = np.concatenate(
+            [flat_f, np.zeros((1, flat_f.shape[1]), pad_dtype)], 0)
+        spats = np.concatenate(
+            [flat_sp, np.zeros((1, flat_sp.shape[1]), flat_sp.dtype)], 0)
+        if scales is not None:
+            scales = np.concatenate(
+                [np.asarray(scales, np.float32), np.ones((1,), np.float32)])
+        if s.adaptive:
+            n_images = s.pos_boxes.shape[0]
+            rows_table = np.full((n_images, self.max_boxes), T, np.int32)
+            for i, (lo, hi) in enumerate(np.asarray(s.pos_boxes)):
+                c = min(int(hi) - int(lo), self.max_boxes)
+                rows_table[i, :c] = np.arange(int(lo), int(lo) + c)
+        else:
+            n_images, k = np.asarray(s.features).shape[:2]
+            c = min(k, self.max_boxes)
+            rows_table = np.full((n_images, self.max_boxes), T, np.int32)
+            rows_table[:, :c] = (np.arange(n_images)[:, None] * k
+                                 + np.arange(c)[None, :])
+        return feats, scales, spats, rows_table, T
 
 
 class InferenceSession:
@@ -61,6 +185,12 @@ class InferenceSession:
         # measure for your deployment before enabling).
         self.transfer_dtype = transfer_dtype
         self._predict_cache: Dict[int, callable] = {}
+        # by-id serving (attach_features): resident store + device tables
+        self.features: Optional[ResidentFeatures] = None
+        self._placement = None
+        self._dev: Optional[tuple] = None  # (feats, scales, spats) on device
+        self._rows_table: Optional[np.ndarray] = None  # host [n_img, mb]
+        self._by_id_cache: Dict[int, callable] = {}
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: ModelConfig,
@@ -176,6 +306,110 @@ class InferenceSession:
         logits = self.logits(v, b, q, a)
         return [self.label2ans[int(i)] for i in logits.argmax(1)]
 
+    # -- by-image-id serving (server-resident features) --------------------
+    def attach_features(self, features: ResidentFeatures,
+                        placement: str = "device",
+                        quantize: bool = True) -> None:
+        """Enable :meth:`logits_by_id`/:meth:`answer_by_id`.
+
+        ``placement="device"`` uploads the store's gather tables to HBM once
+        (int8 rows by default — see :meth:`ResidentFeatures.device_tables`);
+        the jitted predict gathers + dequantizes on device, so per-request
+        wire traffic is ids + tokens only.  ``placement="host"`` gathers on
+        host and reuses the upload path (features still cross host->device
+        per request — the low-HBM fallback)."""
+        assert placement in ("device", "host"), placement
+        assert features.max_boxes == self.max_boxes, \
+            (features.max_boxes, self.max_boxes)
+        self.features = features
+        self._placement = placement
+        if placement == "device":
+            feats, scales, spats, rows_table, _ = features.device_tables(
+                quantize=quantize)
+            self._dev = (jnp.asarray(feats),
+                         None if scales is None else jnp.asarray(scales),
+                         jnp.asarray(spats))
+            self._rows_table = rows_table
+            self._by_id_cache.clear()
+
+    def _by_id_fn(self, bucket: int):
+        if bucket not in self._by_id_cache:
+            model = self.model
+            act = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                   else jnp.float32)
+            sentinel = self._dev[0].shape[0] - 1
+
+            @jax.jit
+            def predict(params, feats, scales, spats, rows, q, a):
+                # rows [N, max_boxes] int32 into the flat [T+1, ...] tables;
+                # the padded sentinel row (index T) is all-zero and masked
+                v = jnp.take(feats, rows, axis=0)
+                if scales is not None:
+                    v = v.astype(act) * jnp.take(scales, rows)[..., None].astype(act)
+                elif v.dtype != act:
+                    v = v.astype(act)
+                batch = {
+                    "v": v,
+                    "b": jnp.take(spats, rows, axis=0).astype(act),
+                    "q": q,
+                    "v_mask": rows != sentinel,
+                }
+                if a is not None:
+                    batch["a"] = a
+                logits, _ = model.apply(params, batch)
+                return logits.astype(jnp.float32)
+
+            self._by_id_cache[bucket] = predict
+        return self._by_id_cache[bucket]
+
+    def logits_by_id(self, image_ids: Sequence[int], q: np.ndarray,
+                     a: Optional[np.ndarray] = None) -> np.ndarray:
+        """Batched raw logits from server-resident features: ``image_ids``
+        [N] ints (the split's COCO ids), ``q`` [N, Q] tokens.  Requires
+        :meth:`attach_features`.  Chunked and software-pipelined like
+        :meth:`logits`."""
+        assert self.features is not None, "call attach_features() first"
+        if self._placement == "host":
+            v, b = self.features.gather(image_ids)
+            return self.logits(v, b, q, a)
+        img_idx = self.features.image_index(image_ids)
+        rows_all = self._rows_table[img_idx]  # [N, max_boxes] int32
+        n = rows_all.shape[0]
+        largest = self.batch_buckets[-1]
+        sentinel = np.int32(self._dev[0].shape[0] - 1)
+        out, pending = [], None
+        for start in range(0, n, largest):
+            rows = rows_all[start:start + largest]
+            qc = q[start:start + largest]
+            ac = None if a is None else a[start:start + largest]
+            m = rows.shape[0]
+            bucket = self._bucket_for(m)
+            if m < bucket:
+                rows = np.concatenate(
+                    [rows, np.full((bucket - m, rows.shape[1]), sentinel,
+                                   np.int32)], 0)
+                qc = np.concatenate(
+                    [qc, np.zeros((bucket - m,) + qc.shape[1:], qc.dtype)], 0)
+                if ac is not None:
+                    ac = np.concatenate(
+                        [ac, np.zeros((bucket - m,) + ac.shape[1:],
+                                      ac.dtype)], 0)
+            feats, scales, spats = self._dev
+            dev = self._by_id_fn(bucket)(
+                self.params, feats, scales, spats, jnp.asarray(rows),
+                jnp.asarray(qc.astype(np.int32)),
+                None if ac is None else jnp.asarray(ac.astype(np.int32)))
+            if pending is not None:
+                out.append(np.asarray(pending[1])[:pending[0]])
+            pending = (m, dev)
+        out.append(np.asarray(pending[1])[:pending[0]])
+        return np.concatenate(out, 0)
+
+    def answer_by_id(self, image_ids: Sequence[int], q: np.ndarray,
+                     a: Optional[np.ndarray] = None) -> List[str]:
+        logits = self.logits_by_id(image_ids, q, a)
+        return [self.label2ans[int(i)] for i in logits.argmax(1)]
+
     def mc_scores(self, v, b, q, ans_mc: np.ndarray) -> np.ndarray:
         """Candidate match probabilities for MC (2-class) models.
 
@@ -285,6 +519,19 @@ class MicroBatcher:
 
     def answer_mc(self, v, b, q, ans_mc, candidates=None):
         return _answer_mc(self.logits, v, b, q, ans_mc, candidates)
+
+    # by-id requests bypass coalescing (they carry no feature payload, so
+    # the per-request overhead micro-batching amortizes — the host->device
+    # feature copy — does not exist on this path)
+    @property
+    def features(self):
+        return self.session.features
+
+    def logits_by_id(self, image_ids, q, a=None):
+        return self.session.logits_by_id(image_ids, q, a)
+
+    def answer_by_id(self, image_ids, q, a=None):
+        return self.session.answer_by_id(image_ids, q, a)
 
     def close(self):
         self._stop = True
