@@ -181,7 +181,79 @@ def _serve_by_id_rows(results, model, params):
         print(f"{label:22s} {t_best * 1e3:8.2f} ms", flush=True)
 
 
+def _epoch_wall_rows(results):
+    """Epoch wall through the REAL input pipeline (r3 verdict item 4): CTI
+    B=256 over a reference-shaped synthetic fixture (2048 rows = 8 batches),
+    native C++ ring loader -> wire -> jitted step, f32 vs int8 wire
+    interleaved with a readback barrier per epoch.  ms/batch includes
+    assembly + H2D transfer + step, so input-pipeline regressions diff
+    round-over-round the way device-step rows already do.  (The absolute is
+    tunnel-weather dependent — the f32/int8 RATIO is the stable signal;
+    PROFILE.md's 6/6-rep A/B is the methodology reference.)"""
+    import tempfile
+
+    from vqatpu.data import VQAFeatureDataset
+    from vqatpu.data.synthetic import make_vqa_fixture
+    from vqatpu.train.loop import _device_batch, _make_loader
+
+    root = tempfile.mkdtemp(prefix="bench_epoch_")
+    B = 256
+    d = make_vqa_fixture(os.path.join(root, "data_vqa"), n_train=2048,
+                         n_val=16, n_images=64, v_dim=2048)
+    ds = VQAFeatureDataset("train", d, dataroot=os.path.join(root, "data_vqa"),
+                           max_boxes=50)
+    cfg = ModelConfig(ntoken=d.ntoken, v_dim=2048,
+                      num_ans_candidates=ds.num_ans_candidates,
+                      model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(1)
+    variants = {}
+    for td in ("float32", "int8"):
+        tcfg = TrainConfig(update_freq=1, batch_size=B, transfer_dtype=td)
+        variants[td] = [_make_loader(ds, tcfg, use_native=True),
+                        make_train_step(model, tcfg),
+                        make_train_state(model, jax.random.PRNGKey(0)), tcfg]
+
+    def run_epoch(var):
+        loader, step, state, tcfg = var
+        nb = i = 0
+        m = None
+        for batch in loader:
+            batch.pop("valid", None)
+            db = _device_batch(batch, transfer_dtype=tcfg.transfer_dtype)
+            state, m = step(state, db, jnp.float32(1e-3),
+                            jax.random.fold_in(key, i))
+            i += 1
+            nb += 1
+        float(np.asarray(m["loss"]))  # readback barrier over the whole chain
+        var[2] = state
+        return nb
+
+    for td, var in variants.items():
+        nb = run_epoch(var)
+        print(f"epoch_wall warm {td} ok ({nb} batches)", flush=True)
+    best = {td: float("inf") for td in variants}
+    for rep in range(4):
+        for td, var in variants.items():
+            t0 = time.perf_counter()
+            nb = run_epoch(var)
+            ms = (time.perf_counter() - t0) / nb * 1e3
+            best[td] = min(best[td], ms)
+            print(f"rep{rep} epoch_wall wire={td:8s} {ms:8.2f} ms/batch",
+                  flush=True)
+    for td in variants:
+        label = f"epoch_wall_cti_256_{'f32' if td == 'float32' else td}"
+        results[label] = {"kind": "epoch", "batch": B,
+                          "ms_per_batch": round(best[td], 2),
+                          "samples_per_sec": round(B / best[td] * 1e3, 1)}
+        print(f"{label:22s} {best[td]:8.2f} ms/batch", flush=True)
+
+
 def main():
+    from vqatpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache(os.environ.get(
+        "VQATPU_COMPILATION_CACHE", "~/.cache/vqatpu/xla"))
     names = sys.argv[1:] or list(CONFIGS)
     key = jax.random.PRNGKey(1)
     runners = {}
@@ -238,6 +310,7 @@ def main():
             results["mc_tan_64"]["batch"] / 4 / best["mc_tan_64"], 1)
 
     _serve_rows(results)
+    _epoch_wall_rows(results)
 
     payload = {
         "note": ("one interleaved tunnel session; rows mutually comparable, "
