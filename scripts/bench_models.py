@@ -212,15 +212,32 @@ def _epoch_wall_rows(results):
         tcfg = TrainConfig(update_freq=1, batch_size=B, transfer_dtype=td)
         variants[td] = [_make_loader(ds, tcfg, use_native=True),
                         make_train_step(model, tcfg),
-                        make_train_state(model, jax.random.PRNGKey(0)), tcfg]
+                        make_train_state(model, jax.random.PRNGKey(0)), tcfg,
+                        None]
+    # device-resident store (int8 tables): v/b never cross the host wire —
+    # the loader ships fields + ~50 KB of row indices per batch
+    from vqatpu.data.batching import BatchLoader, PrefetchLoader
+    from vqatpu.data.device_store import DeviceFeatureStore
+
+    dtcfg = TrainConfig(update_freq=1, batch_size=B, transfer_dtype="int8",
+                        device_features=True)
+    variants["devstore"] = [
+        PrefetchLoader(BatchLoader(ds, B, shuffle=True, seed=dtcfg.seed,
+                                   drop_last=True, fields_only=True)),
+        make_train_step(model, dtcfg),
+        make_train_state(model, jax.random.PRNGKey(0)), dtcfg,
+        DeviceFeatureStore.build(ds, transfer_dtype="int8")]
 
     def run_epoch(var):
-        loader, step, state, tcfg = var
+        loader, step, state, tcfg, dev_store = var
         nb = i = 0
         m = None
         for batch in loader:
             batch.pop("valid", None)
+            ds_idx = batch.pop("ds_idx", None)
             db = _device_batch(batch, transfer_dtype=tcfg.transfer_dtype)
+            if dev_store is not None:
+                db.update(dev_store.gather(ds_idx))
             state, m = step(state, db, jnp.float32(1e-3),
                             jax.random.fold_in(key, i))
             i += 1

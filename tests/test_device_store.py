@@ -1,0 +1,216 @@
+"""Device-resident feature store (data/device_store.py): the gathered
+batch must be BIT-IDENTICAL to the host wire path (``wire_cast``) for
+every transfer dtype, through ConcatDataset, final-batch padding, the
+replicated mesh path, and the row-sharded (shard_map + psum_scatter)
+path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vqatpu.data import BatchLoader, VQAFeatureDataset
+from vqatpu.data.datasets import ConcatDataset, VisualGenomeFeatureDataset
+from vqatpu.data.device_store import DeviceFeatureStore, devstore_capable
+from vqatpu.data.synthetic import add_visualgenome_fixture, make_vqa_fixture
+from vqatpu.train.steps import wire_cast
+
+
+@pytest.fixture(scope="module")
+def root_and_dict(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("devstore_vqa"))
+    d = make_vqa_fixture(root, n_train=40, n_val=10, n_images=12, v_dim=32)
+    return root, d
+
+
+@pytest.fixture(scope="module")
+def dataset(root_and_dict):
+    root, d = root_and_dict
+    return VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+
+
+def _wire_batches(ds, bs, transfer_dtype, **kw):
+    out = []
+    for b in BatchLoader(ds, bs, shuffle=False, **kw):
+        b.pop("valid", None)
+        b.pop("qid", None)
+        out.append(wire_cast(b, transfer_dtype))
+    return out
+
+
+def _gathered_batches(ds, bs, store, **kw):
+    out = []
+    for b in BatchLoader(ds, bs, shuffle=False, fields_only=True, **kw):
+        g = store.gather(b["ds_idx"])
+        out.append({k: np.asarray(v) for k, v in g.items()})
+    return out
+
+
+def _assert_slabs_equal(wire, dev, dequant_dev=False):
+    assert len(wire) == len(dev)
+    for wb, db in zip(wire, dev):
+        if dequant_dev:
+            # quantized-store-under-f32-wire: the host path dequantized in
+            # store.get; the device path dequantizes the same q*s product
+            v = db["v"].astype(np.float32) * db["v_scale"][..., None]
+            np.testing.assert_array_equal(wb["v"], v)
+        else:
+            assert wb["v"].dtype == db["v"].dtype
+            np.testing.assert_array_equal(wb["v"], db["v"])
+            if "v_scale" in wb or "v_scale" in db:
+                np.testing.assert_array_equal(wb["v_scale"], db["v_scale"])
+        assert np.asarray(wb["b"]).dtype == db["b"].dtype
+        np.testing.assert_array_equal(np.asarray(wb["b"]), db["b"])
+        np.testing.assert_array_equal(wb["v_mask"], db["v_mask"])
+
+
+@pytest.mark.parametrize("transfer_dtype", ["float32", "float16", "int8"])
+def test_gather_matches_wire(dataset, transfer_dtype):
+    store = DeviceFeatureStore.build(dataset, transfer_dtype=transfer_dtype)
+    wire = _wire_batches(dataset, 8, transfer_dtype, drop_last=True)
+    dev = _gathered_batches(dataset, 8, store, drop_last=True)
+    _assert_slabs_equal(wire, dev)
+
+
+def test_quantized_store_int8_wire_bit_equal(root_and_dict):
+    """--quantize_store + int8 wire: the int8-resident store uploads
+    as-is; quantization idempotence makes it bit-equal to quantizing the
+    f32 wire batch."""
+    root, d = root_and_dict
+    qds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16,
+                            quantize_features=True)
+    fds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    store = DeviceFeatureStore.build(qds, transfer_dtype="int8")
+    wire = _wire_batches(fds, 8, "int8", drop_last=True)
+    dev = _gathered_batches(qds, 8, store, drop_last=True)
+    _assert_slabs_equal(wire, dev)
+
+
+def test_quantized_store_f32_wire_dequantizes_on_device(root_and_dict):
+    root, d = root_and_dict
+    qds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16,
+                            quantize_features=True)
+    store = DeviceFeatureStore.build(qds, transfer_dtype="float32")
+    assert store.feats.dtype == np.int8  # stays int8-resident in HBM
+    wire = _wire_batches(qds, 8, "float32", drop_last=True)
+    dev = _gathered_batches(qds, 8, store, drop_last=True)
+    _assert_slabs_equal(wire, dev, dequant_dev=True)
+
+
+def test_concat_dataset_shared_store(root_and_dict):
+    """train + VisualGenome concat: VG shares the train split's store
+    OBJECT — the builder must dedupe it (one table, two entry blocks)."""
+    root, d = root_and_dict
+    add_visualgenome_fixture(root, n_questions=12)
+    train = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    vg = VisualGenomeFeatureDataset("train", train.store, d, dataroot=root,
+                                    max_boxes=16)
+    both = ConcatDataset([train, vg])
+    store = DeviceFeatureStore.build(both, transfer_dtype="int8")
+    # deduped: table rows == the single store's box count (+1 sentinel)
+    assert store.feats.shape[0] == np.asarray(train.store.features).shape[0] + 1
+    wire = _wire_batches(both, 8, "int8", drop_last=True)
+    dev = _gathered_batches(both, 8, store, drop_last=True)
+    _assert_slabs_equal(wire, dev)
+
+
+def test_final_batch_padding_gathers_zeros(dataset):
+    store = DeviceFeatureStore.build(dataset, transfer_dtype="float32")
+    wire = _wire_batches(dataset, 16, "float32")   # 40 samples -> pad 8
+    dev = _gathered_batches(dataset, 16, store)
+    _assert_slabs_equal(wire, dev)
+    assert not dev[-1]["v_mask"][-8:].any()
+    assert (dev[-1]["v"][-8:] == 0).all()
+
+
+def test_capability_gate(dataset):
+    ok, _ = devstore_capable(dataset)
+    assert ok
+    ok, why = devstore_capable(dataset, task="mc")
+    assert not ok and "FFOE" in why
+    ok, why = devstore_capable(object())
+    assert not ok
+
+
+@pytest.mark.parametrize("shard", [False, True])
+def test_mesh_gather(dataset, shard):
+    """8-virtual-device mesh: replicated tables (int8 out) and row-sharded
+    tables (f32 out, psum_scatter) both match the wire values."""
+    from vqatpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    store = DeviceFeatureStore.build(dataset, transfer_dtype="int8",
+                                     mesh=mesh, shard=shard)
+    wire = _wire_batches(dataset, 8, "int8", drop_last=True)
+    dev = _gathered_batches(dataset, 8, store, drop_last=True)
+    if shard:
+        # sharded mode emits dequantized f32 v and f32 b (values equal:
+        # dequant is per-row, non-owned contributions are exact zeros)
+        for wb, db in zip(wire, dev):
+            v = wb["v"].astype(np.float32) * wb["v_scale"][..., None]
+            np.testing.assert_array_equal(v, db["v"])
+            np.testing.assert_array_equal(
+                np.asarray(wb["b"]).astype(np.float32), db["b"])
+            np.testing.assert_array_equal(wb["v_mask"], db["v_mask"])
+    else:
+        _assert_slabs_equal(wire, dev)
+
+
+@pytest.mark.parametrize("transfer_dtype", ["float32", "int8"])
+def test_train_trajectory_bit_equal(root_and_dict, tmp_path, transfer_dtype):
+    """train() with --device_features produces the SAME final params as the
+    host wire path: batches are bit-identical and the loaders share the
+    shuffle RNG, so the trajectories coincide exactly."""
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="cti", num_hid=32, h_mm=16, rank=4, gamma=2)
+    model = build_model(mcfg)
+    states = {}
+    for dev in (False, True):
+        cfg = TrainConfig(epochs=2, batch_size=8, update_freq=1,
+                          saving_epoch=99, transfer_dtype=transfer_dtype,
+                          device_features=dev)
+        states[dev] = train(model, ds, None, cfg,
+                            str(tmp_path / f"out_{transfer_dtype}_{dev}"),
+                            use_mesh=False, use_native_loader=False)
+    for a, b in zip(jax.tree.leaves(states[False].params),
+                    jax.tree.leaves(states[True].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    log = (tmp_path / f"out_{transfer_dtype}_True" / "log.txt").read_text()
+    assert "device feature store:" in log
+
+
+def test_loud_fallback_when_unsupported(root_and_dict, tmp_path):
+    """--device_features with a streaming store must fall back LOUDLY."""
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16,
+                           features_in_memory=False)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="ban", num_hid=32, gamma=2)
+    cfg = TrainConfig(epochs=1, batch_size=8, saving_epoch=99,
+                      device_features=True)
+    train(build_model(mcfg), ds, None, cfg, str(tmp_path / "out"),
+          use_mesh=False, use_native_loader=False)
+    log = (tmp_path / "out" / "log.txt").read_text()
+    assert "device feature store OFF" in log
+
+
+def test_sharded_table_padding_rows_unreferenced(dataset):
+    from vqatpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    store = DeviceFeatureStore.build(dataset, transfer_dtype="float32",
+                                     mesh=mesh, shard=True)
+    assert store.feats.shape[0] % 8 == 0
+    assert (store.rows_table < store.sentinel + 1).all()

@@ -90,6 +90,18 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "chunk-wise — 4x less host RAM; composes "
                              "with --transfer_dtype int8, whose wire "
                              "bytes become pure memcpys)")
+    parser.add_argument("--device_features", action="store_true",
+                        default=False,
+                        help="upload the feature store to HBM once and "
+                             "gather v/b by index ON DEVICE — per-batch "
+                             "wire shrinks to ~50 KB of row indices; "
+                             "batches are bit-identical to the wire path "
+                             "(FFOE training; falls back loudly otherwise)")
+    parser.add_argument("--shard_feature_store", action="store_true",
+                        default=False,
+                        help="row-shard the HBM feature tables across the "
+                             "mesh's data axis (stores bigger than one "
+                             "chip's HBM); implies --device_features")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
     parser.add_argument("--kernel_backend", type=str, default="xla",
@@ -241,4 +253,6 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),
         mask_bits=getattr(args, "mask_bits", 32),
+        device_features=getattr(args, "device_features", False),
+        shard_feature_store=getattr(args, "shard_feature_store", False),
     )

@@ -130,3 +130,16 @@ class TrainConfig:
     # device before compute, so only the input quantization differs.
     # Default f32 = exact reference trajectories.
     transfer_dtype: str = "float32"
+    # Device-resident feature store (data/device_store.py): upload the
+    # whole store to HBM once and gather v/b/v_mask by index ON DEVICE —
+    # the per-batch wire carries ~50 KB of row indices instead of the
+    # ~100 MB (f32) feature slab.  Batches are bit-identical to the wire
+    # path for every transfer_dtype, so trajectories don't change.  FFOE
+    # only; falls back loudly when the dataset can't be uploaded
+    # (streaming store) or under multi-process training.
+    device_features: bool = False
+    # Row-shard the HBM tables across the mesh's data axis for stores
+    # bigger than one chip's HBM (gather via all-gather(indices) +
+    # psum_scatter over ICI; values still bit-equal — see
+    # DeviceFeatureStore._make_sharded_gather).  Implies device_features.
+    shard_feature_store: bool = False

@@ -23,12 +23,18 @@ def stack_samples(samples) -> Dict[str, np.ndarray]:
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 1204, drop_last: bool = False,
-                 pad_final: bool = True):
+                 pad_final: bool = True, fields_only: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_final = pad_final
+        # fields_only: skip the feature slabs (v/b/v_mask) and ship the
+        # dataset sample index as ``ds_idx`` instead — the device-resident
+        # feature-store mode (data/device_store.py), where v/b never cross
+        # the host wire.  Shuffle order is IDENTICAL to the full loader
+        # (same RNG, same seed), so trajectories match bit-for-bit.
+        self.fields_only = fields_only
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -52,8 +58,13 @@ class BatchLoader:
         stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):
             idx = order[start:start + bs]
-            samples = [self.dataset.sample(int(i)) for i in idx]
-            batch = stack_samples(samples)
+            if self.fields_only:
+                samples = [self.dataset.sample_fields(int(i)) for i in idx]
+                batch = stack_samples(samples)
+                batch["ds_idx"] = idx.astype(np.int64)
+            else:
+                samples = [self.dataset.sample(int(i)) for i in idx]
+                batch = stack_samples(samples)
             valid = np.ones((len(idx),), bool)
             if len(idx) < bs and self.pad_final:
                 pad = bs - len(idx)
@@ -63,6 +74,10 @@ class BatchLoader:
                     for k, v in batch.items()
                 }
                 valid = np.concatenate([valid, np.zeros((pad,), bool)])
+                if self.fields_only:
+                    # padded rows must gather the all-zero sentinel boxes,
+                    # not image 0's features (wire parity: zero rows)
+                    batch["ds_idx"][len(idx):] = -1
             batch["valid"] = valid
             yield batch
 

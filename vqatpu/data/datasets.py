@@ -382,3 +382,7 @@ class ConcatDataset:
     def sample(self, index: int) -> dict:
         d = int(np.searchsorted(self._offsets, index, "right")) - 1
         return self.datasets[d].sample(index - int(self._offsets[d]))
+
+    def sample_fields(self, index: int) -> dict:
+        d = int(np.searchsorted(self._offsets, index, "right")) - 1
+        return self.datasets[d].sample_fields(index - int(self._offsets[d]))

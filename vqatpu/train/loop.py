@@ -88,6 +88,31 @@ def _make_loader(dataset, cfg: TrainConfig, use_native: bool, logger=None):
                     drop_last=True))
 
 
+def _make_device_store(dataset, cfg: TrainConfig, task: str, multiproc: bool,
+                       mesh, logger):
+    """Build the HBM-resident feature store when ``--device_features`` asks
+    for it and the dataset/regime supports it; decline LOUDLY otherwise
+    (the r3-verdict rule: a silently-degraded input pipeline is a bug)."""
+    if not (cfg.device_features or cfg.shard_feature_store):
+        return None
+    from vqatpu.data.device_store import DeviceFeatureStore, devstore_capable
+
+    why = None
+    if multiproc:
+        why = "multi-process training gathers per-host batch slices"
+    else:
+        ok, why = devstore_capable(dataset, task)
+        why = None if ok else why
+    if why is not None:
+        logger.write(f"device feature store OFF ({why}); using host wire")
+        return None
+    store = DeviceFeatureStore.build(
+        dataset, transfer_dtype=cfg.transfer_dtype, mesh=mesh,
+        shard=cfg.shard_feature_store)
+    logger.write(f"device feature store: {store.describe()}")
+    return store
+
+
 def _shard_state_tp(state: TrainState, mesh) -> TrainState:
     """Tensor-parallel state placement on a 2-D (data x model) mesh:
     params/grad-accum per ``param_shardings`` (classifier vocab, PARALIND
@@ -205,7 +230,18 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
 
     step_fn = make_train_step(model, cfg, tfidf_loaded,
                               mc_scoring=(task == "mc"))
-    loader = _make_loader(train_ds, cfg, use_native_loader, logger=logger)
+    dev_store = _make_device_store(train_ds, cfg, task, multiproc, mesh,
+                                   logger)
+    if dev_store is not None:
+        # v/b/v_mask never cross the host wire: the loader ships fields +
+        # sample indices only (same shuffle RNG/seed as the full loader,
+        # so the trajectory is bit-identical to the wire path)
+        loader = PrefetchLoader(
+            BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                        seed=cfg.seed, drop_last=True, fields_only=True))
+    else:
+        loader = _make_loader(train_ds, cfg, use_native_loader,
+                              logger=logger)
     eval_loader = None  # built lazily on the first eval epoch, then reused
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -236,6 +272,7 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             batch.pop("valid", None)
             if task == "mc":
                 batch = expand_mc_batch(batch)
+            ds_idx = batch.pop("ds_idx", None)
             db = _device_batch(batch, transfer_dtype=cfg.transfer_dtype)
             if multiproc and mesh is not None:
                 # identical seeded loaders on every host -> identical global
@@ -246,6 +283,10 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 db = global_batch_from_local(local_batch_slice(db), mesh)
             elif mesh is not None:
                 db = shard_batch(db, mesh)
+            if dev_store is not None:
+                # feature slabs straight out of HBM (placement already
+                # matches shard_batch's P(data) on a mesh)
+                db.update(dev_store.gather(ds_idx))
             rng, step_rng = jax.random.split(rng)
             # the reference flushes accumulation on each epoch's LAST batch
             # (FFOE/train.py:78-82) so microbatches never straddle epochs.
