@@ -65,6 +65,16 @@ def main():
                                    drop_last=True, fields_only=True)),
         make_train_step(model, dtcfg),
         make_train_state(model, jax.random.PRNGKey(0)), dtcfg, dev]
+    # + sparse targets (the train() default): t_label/t_score instead of
+    # the dense [B, 3129] f32 slab, densified on device
+    from vqatpu.data.batching import max_target_labels
+
+    variants["dev+sparse"] = [
+        PrefetchLoader(BatchLoader(ds, B, shuffle=True, seed=dtcfg.seed,
+                                   drop_last=True, fields_only=True,
+                                   sparse_target_k=max_target_labels(ds))),
+        make_train_step(model, dtcfg),
+        make_train_state(model, jax.random.PRNGKey(0)), dtcfg, dev]
 
     def run_epoch(var):
         loader, step, state, tcfg, dev_store = var
@@ -94,7 +104,7 @@ def main():
             nb = run_epoch(var)
             ms = (time.perf_counter() - t0) / nb * 1e3
             best[name] = min(best[name], ms)
-            print(f"rep{rep} {name:9s} {ms:8.2f} ms/batch", flush=True)
+            print(f"rep{rep} {name:10s} {ms:8.2f} ms/batch", flush=True)
     print("--- best ---", flush=True)
     for name, ms in best.items():
         print(f"{name:9s} {ms:8.2f} ms/batch ({B / ms * 1e3:,.0f} samples/s)",

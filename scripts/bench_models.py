@@ -214,8 +214,10 @@ def _epoch_wall_rows(results):
                         make_train_step(model, tcfg),
                         make_train_state(model, jax.random.PRNGKey(0)), tcfg,
                         None]
-    # device-resident store (int8 tables): v/b never cross the host wire —
-    # the loader ships fields + ~50 KB of row indices per batch
+    # device-resident store (int8 tables) — the train() --device_features
+    # default: v/b never cross the host wire (the loader ships fields +
+    # ~50 KB of row indices per batch; targets stay dense — sparse was a
+    # measured wash, scripts/ab_devstore.py)
     from vqatpu.data.batching import BatchLoader, PrefetchLoader
     from vqatpu.data.device_store import DeviceFeatureStore
 

@@ -216,6 +216,39 @@ def test_ffoe_test_raw_logits_dump(tmp_path):
         ])
 
 
+def test_ffoe_test_device_features_cli(tmp_path):
+    """ffoe_test --device_features sweeps from the HBM store: raw logits
+    bit-equal to the wire sweep."""
+    import jax
+    import numpy as np
+
+    from vqatpu.cli.common import model_config_from_args
+    from vqatpu.data import Dictionary, VQAFeatureDataset
+    from vqatpu.models import build_model
+    from vqatpu.train.checkpoints import save_checkpoint
+    from vqatpu.train.steps import make_train_state
+
+    root = str(tmp_path / "data_vqa")
+    make_vqa_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    out = str(tmp_path / "m")
+    os.makedirs(out)
+    d = Dictionary.load_from_file(os.path.join(root, "dictionary.pkl"))
+    ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    args = ffoe_test.parse_args(["--model", "ban", "--dataroot", root, *SMALL])
+    model = build_model(model_config_from_args(args, ds))
+    save_checkpoint(os.path.join(out, "model_epoch0.ckpt"),
+                    make_train_state(model, jax.random.PRNGKey(0)), 0)
+    base = ["--model", "ban", "--dataroot", root, *SMALL, "--split", "val",
+            "--input", out, "--epoch", "0", "--logits", "1"]
+    ffoe_test.main(base + ["--results", str(tmp_path / "r_wire")])
+    ffoe_test.main(base + ["--results", str(tmp_path / "r_dev"),
+                           "--device_features"])
+    wire = np.load(str(tmp_path / "r_wire" / "val_ban_logits.npz"))
+    dev = np.load(str(tmp_path / "r_dev" / "val_ban_logits.npz"))
+    np.testing.assert_array_equal(wire["question_ids"], dev["question_ids"])
+    np.testing.assert_array_equal(wire["logits"], dev["logits"])
+
+
 def test_ffoe_train_use_both_vg_cli(tmp_path):
     """--use_both --use_vg trains on the train+val+VG concat (reference
     FFOE/main.py:130-140) — the headline test2015 configuration.  With

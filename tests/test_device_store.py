@@ -206,6 +206,117 @@ def test_loud_fallback_when_unsupported(root_and_dict, tmp_path):
     assert "device feature store OFF" in log
 
 
+def test_sparse_target_roundtrip(dataset):
+    """sparsify_target (host) -> densify_target (device one-hot matmul)
+    reproduces the dense target BIT-exactly, including zero-score labels
+    and empty targets."""
+    from vqatpu.data.batching import max_target_labels, sparsify_target
+    from vqatpu.train.steps import densify_target
+
+    k = max_target_labels(dataset)
+    n_ans = dataset.num_ans_candidates
+    dense, sparse = [], []
+    for i in range(12):
+        s = dataset.sample_fields(i)
+        dense.append(s["target"].copy())
+        sparse.append(sparsify_target(dict(s), k))
+    batch = {"t_label": np.stack([s["t_label"] for s in sparse]),
+             "t_score": np.stack([s["t_score"] for s in sparse])}
+    out = densify_target(batch, n_ans)
+    assert "t_label" not in out
+    np.testing.assert_array_equal(np.asarray(out["target"]),
+                                  np.stack(dense))
+    # empty target (test-split rows): all-pad -> exact zeros
+    empty = densify_target({"t_label": np.zeros((1, k), np.int32),
+                            "t_score": np.zeros((1, k), np.float32)}, n_ans)
+    assert (np.asarray(empty["target"]) == 0).all()
+
+
+def test_sparse_vs_dense_devstore_trajectory(root_and_dict, tmp_path):
+    """sparse_targets on/off through train() with the device store: same
+    final params (the one-hot densify is bit-exact)."""
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="ban", num_hid=32, gamma=2)
+    model = build_model(mcfg)
+    states = {}
+    for sparse in (False, True):
+        cfg = TrainConfig(epochs=1, batch_size=8, saving_epoch=99,
+                          device_features=True, sparse_targets=sparse)
+        states[sparse] = train(model, ds, None, cfg,
+                               str(tmp_path / f"sp_{sparse}"),
+                               use_mesh=False, use_native_loader=False)
+    for a, b in zip(jax.tree.leaves(states[False].params),
+                    jax.tree.leaves(states[True].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_matches_wire(root_and_dict):
+    """get_logits / evaluate with the device store == the wire path,
+    including the padded (non-divisible) final eval batch."""
+    from vqatpu.config import ModelConfig
+    from vqatpu.data.batching import make_eval_loader
+    from vqatpu.eval.ffoe import evaluate, get_logits
+    from vqatpu.models import build_model
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("val", d, dataroot=root, max_boxes=16)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="ban", num_hid=32, gamma=2)
+    model = build_model(mcfg)
+    params = model.init(jax.random.PRNGKey(3))
+    store = DeviceFeatureStore.build(ds, transfer_dtype="float32")
+    wire_loader = make_eval_loader(ds, 8, use_native=False)
+    dev_loader = make_eval_loader(ds, 8, fields_only=True)
+    lw, qw = get_logits(model, params, wire_loader)
+    ld, qd = get_logits(model, params, dev_loader, dev_store=store)
+    np.testing.assert_array_equal(qw, qd)
+    np.testing.assert_array_equal(lw, ld)
+    sw = evaluate(model, params, wire_loader)
+    sd = evaluate(model, params, dev_loader, dev_store=store)
+    assert sw == sd
+
+
+def test_train_with_eval_devstore(root_and_dict, tmp_path):
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    val = VQAFeatureDataset("val", d, dataroot=root, max_boxes=16)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="ban", num_hid=32, gamma=2)
+    cfg = TrainConfig(epochs=1, batch_size=8, saving_epoch=99,
+                      device_features=True)
+    train(build_model(mcfg), ds, val, cfg, str(tmp_path / "out"),
+          use_mesh=True, num_devices=1, use_native_loader=False)
+    log = (tmp_path / "out" / "log.txt").read_text()
+    assert "eval device feature store:" in log
+    assert "eval score:" in log
+
+
+def test_sharded_gather_2d_mesh(dataset):
+    """Sharded tables on the 2-D (data x model) TP mesh: tables shard over
+    ``data`` only, replicate over ``model``; values still match."""
+    from vqatpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    store = DeviceFeatureStore.build(dataset, transfer_dtype="float32",
+                                     mesh=mesh, shard=True)
+    wire = _wire_batches(dataset, 8, "float32", drop_last=True)
+    dev = _gathered_batches(dataset, 8, store, drop_last=True)
+    _assert_slabs_equal(wire, dev)
+
+
 def test_sharded_table_padding_rows_unreferenced(dataset):
     from vqatpu.parallel import make_mesh
 
@@ -214,3 +325,4 @@ def test_sharded_table_padding_rows_unreferenced(dataset):
                                      mesh=mesh, shard=True)
     assert store.feats.shape[0] % 8 == 0
     assert (store.rows_table < store.sentinel + 1).all()
+

@@ -102,6 +102,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="row-shard the HBM feature tables across the "
                              "mesh's data axis (stores bigger than one "
                              "chip's HBM); implies --device_features")
+    parser.add_argument("--sparse_targets", action="store_true",
+                        default=False,
+                        help="with --device_features: ship targets as "
+                             "(label, score) pairs, densified on device "
+                             "bit-identically (a measured wash on the "
+                             "bench host; try where the wire is unhidden "
+                             "or the answer vocabulary is much larger)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="emit a jax.profiler trace of early train steps")
     parser.add_argument("--kernel_backend", type=str, default="xla",
@@ -255,4 +262,5 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         mask_bits=getattr(args, "mask_bits", 32),
         device_features=getattr(args, "device_features", False),
         shard_feature_store=getattr(args, "shard_feature_store", False),
+        sparse_targets=getattr(args, "sparse_targets", False),
     )

@@ -143,3 +143,13 @@ class TrainConfig:
     # psum_scatter over ICI; values still bit-equal — see
     # DeviceFeatureStore._make_sharded_gather).  Implies device_features.
     shard_feature_store: bool = False
+    # With device_features: ship targets sparse (t_label/t_score pairs,
+    # <=10 nonzeros per VQA sample) instead of the dense [B, n_ans] f32
+    # slab — the step densifies on device via a one-hot matmul,
+    # bit-identically (steps.densify_target).  Measured a WASH on the
+    # bench host (scripts/ab_devstore.py: 16.8 vs 19.5 ms/batch best,
+    # dense wins 4/6 interleaved reps — the dense target wire hides
+    # behind dispatch overlap while the densify adds step work), so
+    # default OFF; try it where the wire is genuinely unhidden (slow
+    # links, much larger answer vocabularies).
+    sparse_targets: bool = False

@@ -20,10 +20,51 @@ def stack_samples(samples) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples], 0) for k in keys}
 
 
+def max_target_labels(dataset) -> int:
+    """Upper bound on labeled target entries per sample (<=10 for VQA-2.0:
+    ten human answers per question, ``tools/compute_softscore`` semantics),
+    for sizing the sparse-target wire.  ConcatDataset aware; entries
+    without an answer dict (test splits) count 0.
+
+    Also guards the sparse wire's add-densify semantics: duplicate labels
+    within one entry would sum on device but last-win in the dense
+    ``_target`` scatter — softscore/TDIUC/VG entries never have them, and
+    a dataset that did must use the dense wire."""
+    members = list(getattr(dataset, "datasets", [])) or [dataset]
+    k = 1
+    for d in members:
+        for e in d.entries:
+            a = e.get("answer")
+            if a is not None and a.get("labels") is not None:
+                labels = a["labels"]
+                assert len(set(labels)) == len(labels), \
+                    f"duplicate target labels in entry {e.get('question_id')}"
+                k = max(k, len(labels))
+    return k
+
+
+def sparsify_target(sample: dict, k: int) -> dict:
+    """Replace a sample's dense ``target [n_ans]`` with ``t_label [k]``
+    int32 + ``t_score [k]`` f32 (``np.nonzero`` order; zero-padded — pads
+    land on column 0 with score 0.0, an exact no-op under the device-side
+    one-hot densify, ``train.steps.densify_target``)."""
+    t = sample.pop("target")
+    nz = np.nonzero(t)[0]
+    assert nz.size <= k, (nz.size, k)
+    lab = np.zeros((k,), np.int32)
+    sc = np.zeros((k,), np.float32)
+    lab[:nz.size] = nz
+    sc[:nz.size] = t[nz]
+    sample["t_label"] = lab
+    sample["t_score"] = sc
+    return sample
+
+
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 1204, drop_last: bool = False,
-                 pad_final: bool = True, fields_only: bool = False):
+                 pad_final: bool = True, fields_only: bool = False,
+                 sparse_target_k: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,6 +76,10 @@ class BatchLoader:
         # the host wire.  Shuffle order is IDENTICAL to the full loader
         # (same RNG, same seed), so trajectories match bit-for-bit.
         self.fields_only = fields_only
+        # >0: ship targets sparse (t_label/t_score [k] per row) instead of
+        # dense [n_ans] — the device step densifies (steps.densify_target).
+        # Only meaningful with fields_only (the device-store wire).
+        self.sparse_target_k = sparse_target_k
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -59,7 +104,18 @@ class BatchLoader:
         for start in range(0, stop, bs):
             idx = order[start:start + bs]
             if self.fields_only:
-                samples = [self.dataset.sample_fields(int(i)) for i in idx]
+                k = self.sparse_target_k
+                if k and hasattr(self.dataset, "sample_fields_sparse"):
+                    # entry-direct sparse targets: the [num_ans]-wide host
+                    # densify never runs (measured host-bound on 1-core
+                    # hosts via the densify->nonzero fallback below)
+                    samples = [self.dataset.sample_fields_sparse(int(i), k)
+                               for i in idx]
+                else:
+                    samples = [self.dataset.sample_fields(int(i))
+                               for i in idx]
+                    if k:
+                        samples = [sparsify_target(s, k) for s in samples]
                 batch = stack_samples(samples)
                 batch["ds_idx"] = idx.astype(np.int64)
             else:
@@ -148,7 +204,7 @@ class PrefetchLoader:
 
 
 def make_eval_loader(dataset, batch_size: int, use_native: bool = True,
-                     quantize: bool = False):
+                     quantize: bool = False, fields_only: bool = False):
     """Sequential-sweep loader for eval/inference: no shuffle, padded final
     batch with a ``valid`` row mask.
 
@@ -160,7 +216,14 @@ def make_eval_loader(dataset, batch_size: int, use_native: bool = True,
 
     ``quantize=True`` (pass when sweeping with ``transfer_dtype="int8"``)
     makes the native loader quantize on assembly (v int8 + v_scale); the
-    Python fallback still yields f32 v and quantizes in ``wire_cast``."""
+    Python fallback still yields f32 v and quantizes in ``wire_cast``.
+
+    ``fields_only=True`` is the device-feature-store wire: no v/b assembly
+    at all, the batch ships ``ds_idx`` for the on-device gather (targets
+    stay dense — eval scores them host-side)."""
+    if fields_only:
+        return PrefetchLoader(BatchLoader(dataset, batch_size,
+                                          fields_only=True))
     if (use_native and hasattr(dataset, "store")
             and hasattr(dataset, "entries")
             and getattr(dataset.store, "in_memory", True)):

@@ -152,6 +152,41 @@ class _FeatureDatasetBase:
                 target[labels] = scores
         return target
 
+    def _target_sparse(self, answer: Optional[dict], k: int):
+        """Sparse form of :meth:`_target` straight from the entry (the
+        [num_ans]-wide zeros+scatter never happens): ``(t_label [k] int32,
+        t_score [k] f32)``, zero-padded.  Densifying on device
+        (``train.steps.densify_target``, add semantics) reproduces
+        ``_target`` bit-exactly because softscore labels are unique per
+        question (``tools/compute_softscore`` builds them from distinct
+        answer strings; duplicates would make add diverge from _target's
+        last-wins scatter — guarded in ``batching.max_target_labels``)."""
+        lab = np.zeros((k,), np.int32)
+        sc = np.zeros((k,), np.float32)
+        if answer is not None and answer.get("labels") is not None:
+            labels = np.asarray(answer["labels"], np.int64)
+            if labels.size:
+                lab[:labels.size] = labels
+                sc[:labels.size] = np.asarray(answer["scores"], np.float32)
+        return lab, sc
+
+    def sample_fields(self, index: int) -> dict:
+        """Everything except the feature slabs (v/b/v_mask) — the native
+        loader precomputes these per row without touching the store."""
+        e = self.entries[index]
+        out = self._fields_common(e)
+        out["target"] = self._target(e["answer"])
+        return out
+
+    def sample_fields_sparse(self, index: int, k: int) -> dict:
+        """Like :meth:`sample_fields` but with the target in sparse form —
+        the [num_ans]-wide host densify never runs (the device-feature-store
+        loader's wire, ``BatchLoader(fields_only=True, sparse_target_k=k)``)."""
+        e = self.entries[index]
+        out = self._fields_common(e)
+        out["t_label"], out["t_score"] = self._target_sparse(e["answer"], k)
+        return out
+
     def __len__(self) -> int:
         return len(self.entries)
 
@@ -180,14 +215,10 @@ class VQAFeatureDataset(_FeatureDatasetBase):
             e["ans_token"] = np.asarray(
                 dictionary.tokenize_padded(e["ans"], ANS_LEN), np.int32)
 
-    def sample_fields(self, index: int) -> dict:
-        """Everything except the feature slabs (v/b/v_mask) — the native
-        loader precomputes these per row without touching the store."""
-        e = self.entries[index]
+    def _fields_common(self, e: dict) -> dict:
         out = {
             "q": e["q_token"],
             "a": e["ans_token"],
-            "target": self._target(e["answer"]),
             "qid": np.int64(e["question_id"]),
         }
         if self.teacher_logits:
@@ -227,12 +258,10 @@ class TDIUCFeatureDataset(_FeatureDatasetBase):
                 dictionary.tokenize_padded(e["question"], question_len), np.int32)
             e["ans_token"] = np.asarray(pad, np.int32)
 
-    def sample_fields(self, index: int) -> dict:
-        e = self.entries[index]
+    def _fields_common(self, e: dict) -> dict:
         out = {
             "q": e["q_token"],
             "a": e["ans_token"],
-            "target": self._target(e["answer"]),
             "qid": np.int64(e["question_id"]),
         }
         if self.teacher_logits:
@@ -335,14 +364,27 @@ class VisualGenomeFeatureDataset:
             target[labels] = scores
         return target
 
-    def sample_fields(self, index: int) -> dict:
-        e = self.entries[index]
+    def _fields_common(self, e: dict) -> dict:
         return {
             "q": e["q_token"],
             "a": np.full((ANS_LEN,), self.dictionary.padding_idx, np.int32),
-            "target": self._target(e["answer"]),
             "qid": np.int64(e["question_id"]),
         }
+
+    def sample_fields(self, index: int) -> dict:
+        e = self.entries[index]
+        out = self._fields_common(e)
+        out["target"] = self._target(e["answer"])
+        return out
+
+    def sample_fields_sparse(self, index: int, k: int) -> dict:
+        # VG entries carry exactly one label at score 1.0
+        # (build_visualgenome_entries) — the sparse wire is trivial
+        e = self.entries[index]
+        out = self._fields_common(e)
+        out["t_label"], out["t_score"] = \
+            _FeatureDatasetBase._target_sparse(self, e["answer"], k)
+        return out
 
     def sample(self, index: int) -> dict:
         out = self.sample_fields(index)
@@ -386,3 +428,8 @@ class ConcatDataset:
     def sample_fields(self, index: int) -> dict:
         d = int(np.searchsorted(self._offsets, index, "right")) - 1
         return self.datasets[d].sample_fields(index - int(self._offsets[d]))
+
+    def sample_fields_sparse(self, index: int, k: int) -> dict:
+        d = int(np.searchsorted(self._offsets, index, "right")) - 1
+        return self.datasets[d].sample_fields_sparse(
+            index - int(self._offsets[d]), k)

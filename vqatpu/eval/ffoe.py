@@ -19,19 +19,31 @@ from vqatpu.data.batching import BatchLoader
 from vqatpu.train.steps import make_eval_step, wire_cast
 
 
+def _eval_batch(batch: dict, transfer_dtype: str, dev_store) -> dict:
+    """Wire fields (+ device-store feature gather when a
+    :class:`~vqatpu.data.device_store.DeviceFeatureStore` is active — the
+    loader must then be ``fields_only``, shipping ``ds_idx`` instead of
+    the v/b slabs)."""
+    ds_idx = batch.pop("ds_idx", None)
+    db = wire_cast({k: v for k, v in batch.items()
+                    if k in ("v", "v_scale", "b", "q", "a", "v_mask",
+                             "target")},
+                   transfer_dtype)
+    if dev_store is not None:
+        db.update(dev_store.gather(ds_idx))
+    return db
+
+
 def get_logits(model, params, loader: BatchLoader,
                compute_dtype: str = "float32",
-               transfer_dtype: str = "float32"
-               ) -> Tuple[np.ndarray, np.ndarray]:
+               transfer_dtype: str = "float32",
+               dev_store=None) -> Tuple[np.ndarray, np.ndarray]:
     """Sweep the loader; -> (pred [N, num_ans], qids [N])."""
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     preds, qids = [], []
     for batch in loader:
         valid = batch.pop("valid")
-        db = wire_cast({k: v for k, v in batch.items()
-                        if k in ("v", "v_scale", "b", "q", "a", "v_mask",
-                                 "target")},
-                       transfer_dtype)
+        db = _eval_batch(batch, transfer_dtype, dev_store)
         out = eval_step(params, db)
         logits = np.asarray(out["logits"])[valid]
         preds.append(logits)
@@ -67,20 +79,30 @@ def _maybe_shard(db: dict, mesh):
 
 def evaluate(model, params, loader: BatchLoader, mesh=None,
              compute_dtype: str = "float32",
-             transfer_dtype: str = "float32") -> Tuple[float, float]:
+             transfer_dtype: str = "float32",
+             dev_store=None) -> Tuple[float, float]:
     """Soft-accuracy + upper bound over a val loader
-    (``FFOE/train.py:119-149``)."""
+    (``FFOE/train.py:119-149``).  ``dev_store``: gather v/b/v_mask from
+    HBM tables (caller guarantees the loader is ``fields_only`` and, on a
+    mesh, that the eval batch divides the data axis — the store's gather
+    is always P(data)-sharded on its mesh)."""
     eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     score = 0.0
     upper = 0.0
     n = 0
+    slab_keys = ("v", "v_scale", "b", "v_mask")
     for batch in loader:
         valid = batch.pop("valid")
-        db = wire_cast({k: v for k, v in batch.items()
-                        if k in ("v", "v_scale", "b", "q", "a", "v_mask",
-                                 "target")},
-                       transfer_dtype)
-        out = eval_step(params, _maybe_shard(db, mesh))
+        db = _eval_batch(batch, transfer_dtype, dev_store)
+        if dev_store is None:
+            db = _maybe_shard(db, mesh)
+        else:
+            # store-gathered slabs are already P(data) on the store's mesh;
+            # only the wire fields need placing
+            wire = _maybe_shard({k: v for k, v in db.items()
+                                 if k not in slab_keys}, mesh)
+            db = dict(wire, **{k: db[k] for k in slab_keys if k in db})
+        out = eval_step(params, db)
         logits = np.asarray(out["logits"])
         target = np.asarray(batch["target"])
         one_hot = np.eye(logits.shape[1], dtype=np.float32)[logits.argmax(1)]

@@ -30,7 +30,8 @@ from vqatpu.train.optim import lr_for_epoch
 from vqatpu.train.steps import (TrainState, make_train_state, make_train_step,
                                 wire_cast)
 
-_FFOE_KEYS = ("v", "v_scale", "b", "q", "a", "v_mask", "target", "t_logits")
+_FFOE_KEYS = ("v", "v_scale", "b", "q", "a", "v_mask", "target",
+              "t_label", "t_score", "t_logits")
 
 
 def _device_batch(batch: dict, keys=_FFOE_KEYS,
@@ -88,8 +89,30 @@ def _make_loader(dataset, cfg: TrainConfig, use_native: bool, logger=None):
                     drop_last=True))
 
 
+_UNSET = object()  # eval device store: build lazily, at most once
+
+
+def _make_eval_device_store(eval_ds, cfg: TrainConfig, task: str,
+                            multiproc: bool, mesh, logger):
+    """Device store for the in-loop epoch eval.  One extra gate vs the
+    train store: on a mesh the store's gather output is ALWAYS
+    P(data)-sharded, so the (2x) eval batch must divide the data axis."""
+    store = _make_device_store(eval_ds, cfg, task, multiproc, mesh, logger,
+                               what="eval ")
+    if store is not None and mesh is not None:
+        from vqatpu.parallel import DATA_AXIS
+
+        dp = int(mesh.shape.get(DATA_AXIS, 1))
+        if (cfg.batch_size * 2) % dp != 0:
+            logger.write("eval device feature store OFF (eval batch %d not "
+                         "divisible by the data mesh %d); using host wire"
+                         % (cfg.batch_size * 2, dp))
+            return None
+    return store
+
+
 def _make_device_store(dataset, cfg: TrainConfig, task: str, multiproc: bool,
-                       mesh, logger):
+                       mesh, logger, what: str = ""):
     """Build the HBM-resident feature store when ``--device_features`` asks
     for it and the dataset/regime supports it; decline LOUDLY otherwise
     (the r3-verdict rule: a silently-degraded input pipeline is a bug)."""
@@ -104,12 +127,13 @@ def _make_device_store(dataset, cfg: TrainConfig, task: str, multiproc: bool,
         ok, why = devstore_capable(dataset, task)
         why = None if ok else why
     if why is not None:
-        logger.write(f"device feature store OFF ({why}); using host wire")
+        logger.write(f"{what}device feature store OFF ({why}); "
+                     "using host wire")
         return None
     store = DeviceFeatureStore.build(
         dataset, transfer_dtype=cfg.transfer_dtype, mesh=mesh,
         shard=cfg.shard_feature_store)
-    logger.write(f"device feature store: {store.describe()}")
+    logger.write(f"{what}device feature store: {store.describe()}")
     return store
 
 
@@ -235,14 +259,24 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
     if dev_store is not None:
         # v/b/v_mask never cross the host wire: the loader ships fields +
         # sample indices only (same shuffle RNG/seed as the full loader,
-        # so the trajectory is bit-identical to the wire path)
+        # so the trajectory is bit-identical to the wire path).
+        # cfg.sparse_targets additionally ships targets as t_label/t_score
+        # pairs, densified on device — also bit-identical (densify_target),
+        # measured a wash on the bench host (config.py).  FFOE-only: MC
+        # builds its 2-class target from the candidate labels at expansion.
+        from vqatpu.data.batching import max_target_labels
+
+        k = (max_target_labels(train_ds)
+             if cfg.sparse_targets and task == "ffoe" else 0)
         loader = PrefetchLoader(
             BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                        seed=cfg.seed, drop_last=True, fields_only=True))
+                        seed=cfg.seed, drop_last=True, fields_only=True,
+                        sparse_target_k=k))
     else:
         loader = _make_loader(train_ds, cfg, use_native_loader,
                               logger=logger)
     eval_loader = None  # built lazily on the first eval epoch, then reused
+    eval_dev_store = _UNSET if dev_store is not None else None
     rng = jax.random.PRNGKey(cfg.seed)
 
     best_eval = 0.0
@@ -355,10 +389,14 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             # built ONCE — NativeBatchLoader construction does a
             # field-precompute pass + ring allocation worth reusing
             if eval_loader is None:
+                if eval_dev_store is _UNSET:
+                    eval_dev_store = _make_eval_device_store(
+                        eval_ds, cfg, task, multiproc, mesh, logger)
                 eval_loader = make_eval_loader(
                     eval_ds, cfg.batch_size * 2,
                     use_native=use_native_loader,
-                    quantize=(cfg.transfer_dtype == "int8"))
+                    quantize=(cfg.transfer_dtype == "int8"),
+                    fields_only=eval_dev_store is not None)
             if multiproc and mesh is not None:
                 eval_score, bound = _evaluate_multiproc(
                     model, state.params, eval_loader, cfg, task, mesh)
@@ -372,7 +410,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                     eval_score, bound = evaluate_ffoe(
                         model, state.params, eval_loader, mesh=mesh,
                         compute_dtype=cfg.compute_dtype,
-                        transfer_dtype=cfg.transfer_dtype)
+                        transfer_dtype=cfg.transfer_dtype,
+                        dev_store=eval_dev_store)
 
         logger.write("epoch %d, time: %.2f" % (epoch, time.time() - t0))
         logger.write("\ttrain_loss: %.2f, norm: %.4f, score: %.2f"

@@ -149,6 +149,27 @@ def wire_cast(db: dict, transfer_dtype: str = "float32") -> dict:
                        for k in ("v", "b") if k in db})
 
 
+def densify_target(batch, n_ans: int):
+    """Device-side half of the sparse-target wire (the device-feature-store
+    loader ships ``t_label [B, K] int32`` + ``t_score [B, K] f32`` instead
+    of the dense ``target [B, n_ans]`` — ~10x fewer wire bytes at VQA's
+    K<=10).  Densified as a one-hot matmul (the PiecewiseLin lesson:
+    per-element scatters lower to slow sequential loops on TPU; a masked
+    contraction rides the MXU).  Exactness: the sparse rows come from
+    ``np.nonzero`` of the host-dense target, so each output column sums
+    exactly one nonzero term (pads contribute ``0.0 * onehot`` at column
+    0) — bit-identical to the host-dense wire."""
+    if "t_label" not in batch:
+        return batch
+    batch = dict(batch)
+    lab = batch.pop("t_label")
+    sc = batch.pop("t_score").astype(jnp.float32)
+    oh = (lab[:, :, None]
+          == jnp.arange(n_ans, dtype=lab.dtype)[None, None, :])
+    batch["target"] = jnp.einsum("bk,bkn->bn", sc, oh.astype(jnp.float32))
+    return batch
+
+
 def _upcast_wire(batch):
     """Device-side half of the wire contract: dequantize int8 ``v`` (via
     the ``v_scale`` side tensor, which is dropped here) and upcast f16/bf16
@@ -235,6 +256,7 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
         """``force_update`` flushes the accumulation buffer regardless of
         count — the reference updates on each epoch's LAST batch
         (``FFOE/train.py:78-82``) so microbatches never carry across epochs."""
+        batch = densify_target(batch, model.cfg.num_ans_candidates)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
