@@ -326,3 +326,96 @@ def test_sharded_table_padding_rows_unreferenced(dataset):
     assert store.feats.shape[0] % 8 == 0
     assert (store.rows_table < store.sentinel + 1).all()
 
+
+# -- MC task (V7W): x4 candidate expansion tiles ds_idx, the gather does
+# -- the expansion on device (mc_dataset.expand_mc_batch) ------------------
+
+
+@pytest.fixture(scope="module")
+def v7w(tmp_path_factory):
+    from vqatpu.data.mc_dataset import V7WDataset
+    from vqatpu.data.synthetic import make_v7w_fixture
+
+    root = str(tmp_path_factory.mktemp("devstore_v7w"))
+    d = make_v7w_fixture(root, n_train=24, n_val=8, n_images=6, v_dim=16)
+    return root, d
+
+
+def _mc_model(ds):
+    from vqatpu.config import ModelConfig
+    from vqatpu.models import build_model
+
+    return build_model(ModelConfig(
+        ntoken=ds.dictionary.ntoken, v_dim=ds.v_dim,
+        num_ans_candidates=ds.num_ans_candidates, model="ban", task="mc",
+        num_hid=32, gamma=2))
+
+
+def test_mc_expanded_gather_matches_tiled_wire(v7w):
+    """gather(tile(ds_idx)) == tile(wire slabs) bit-for-bit — the device
+    expansion IS the gather of repeated row indices."""
+    from vqatpu.data.mc_dataset import V7WDataset, expand_mc_batch
+
+    root, d = v7w
+    ds = V7WDataset("train", d, dataroot=root, max_boxes=12)
+    store = DeviceFeatureStore.build(ds, transfer_dtype="float32")
+    wire = iter(BatchLoader(ds, 8, shuffle=False))
+    for fb in BatchLoader(ds, 8, shuffle=False, fields_only=True):
+        wb = next(wire)
+        wb.pop("valid", None)
+        fb.pop("valid", None)
+        exw = expand_mc_batch(wb)
+        exf = expand_mc_batch(fb)
+        assert "v" not in exf and exf["ds_idx"].shape[0] == exw["v"].shape[0]
+        g = store.gather(exf["ds_idx"])
+        np.testing.assert_array_equal(exw["v"], np.asarray(g["v"]))
+        np.testing.assert_array_equal(exw["b"], np.asarray(g["b"]))
+        np.testing.assert_array_equal(exw["v_mask"], np.asarray(g["v_mask"]))
+        np.testing.assert_array_equal(exw["q"], exf["q"])
+        np.testing.assert_array_equal(exw["target"], exf["target"])
+
+
+def test_mc_eval_matches_wire(v7w):
+    """evaluate_mc with the device store == the wire path (bit-equal
+    logits -> equal accuracy), including the padded final batch."""
+    from vqatpu.data.batching import make_eval_loader
+    from vqatpu.data.mc_dataset import V7WDataset
+    from vqatpu.eval import evaluate_mc
+
+    root, d = v7w
+    ds = V7WDataset("val", d, dataroot=root, max_boxes=12)
+    model = _mc_model(ds)
+    params = model.init(jax.random.PRNGKey(5))
+    store = DeviceFeatureStore.build(ds, transfer_dtype="float32")
+    accw, _ = evaluate_mc(model, params,
+                          make_eval_loader(ds, 8, use_native=False))
+    accd, _ = evaluate_mc(model, params,
+                          make_eval_loader(ds, 8, fields_only=True),
+                          dev_store=store)
+    assert accw == accd
+
+
+def test_mc_train_devstore_trajectory(v7w, tmp_path):
+    """train(task='mc') with --device_features: same final params as the
+    wire path (the tiled-index gather is bit-identical to host tiling)."""
+    from vqatpu.config import TrainConfig
+    from vqatpu.data.mc_dataset import V7WDataset
+    from vqatpu.train.loop import train
+
+    root, d = v7w
+    ds = V7WDataset("train", d, dataroot=root, max_boxes=12)
+    val = V7WDataset("val", d, dataroot=root, max_boxes=12)
+    model = _mc_model(ds)
+    states = {}
+    for dev in (False, True):
+        cfg = TrainConfig(epochs=1, batch_size=8, saving_epoch=99,
+                          device_features=dev)
+        states[dev] = train(model, ds, val, cfg,
+                            str(tmp_path / f"mc_{dev}"), task="mc",
+                            use_mesh=False, use_native_loader=False)
+    log = (tmp_path / "mc_True" / "log.txt").read_text()
+    assert "device feature store:" in log
+    assert "eval device feature store:" in log
+    for a, b in zip(jax.tree.leaves(states[False].params),
+                    jax.tree.leaves(states[True].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -96,9 +96,14 @@ def _dataset_members(dataset) -> list:
 def devstore_capable(dataset, task: str = "ffoe") -> Tuple[bool, str]:
     """Whether :meth:`DeviceFeatureStore.build` can serve this dataset:
     every member (ConcatDataset aware) must expose an in-memory
-    FeatureStore + entries with image indices."""
-    if task != "ffoe":
-        return False, "device_features supports the FFOE task only"
+    FeatureStore + entries with image indices.
+
+    Both tasks qualify: FFOE gathers one image per row; MC's x4 candidate
+    expansion simply tiles ``ds_idx`` (``mc_dataset.expand_mc_batch``), so
+    the same gather materializes the expanded ``[B*4, boxes, d]`` slabs —
+    the expansion that QUADRUPLED the host wire costs nothing on device."""
+    if task not in ("ffoe", "mc"):
+        return False, f"device_features does not support task {task!r}"
     for d in _dataset_members(dataset):
         if not (hasattr(d, "store") and hasattr(d, "entries")):
             return False, "dataset has no FeatureStore/entries"

@@ -143,23 +143,27 @@ class V7WDataset:
 def expand_mc_batch(batch: dict) -> dict:
     """x4 candidate expansion (``MC/train.py:74-83``): tile v/b/q per
     candidate, flatten ans_mc, build 2-class [a, 1-a] targets.  Pure numpy on
-    the host, feeding a static [B*4, ...] device batch."""
-    B = batch["v"].shape[0]
+    the host, feeding a static [B*4, ...] device batch.
+
+    Feature slabs (v/b/v_mask/v_scale) are tiled when present; a
+    ``fields_only`` batch (the device-feature-store wire) instead tiles
+    ``ds_idx``, and the HBM gather of the repeated indices materializes the
+    expanded slabs directly — the x4 wire amplification never happens."""
+    B = batch["q"].shape[0]
     n = NUM_CANDIDATES
 
     def tile(x):
         return np.repeat(x[:, None], n, axis=1).reshape((B * n,) + x.shape[1:])
 
     a = batch["label"].reshape(B * n, 1)
-    extra = ({"v_scale": tile(batch["v_scale"])} if "v_scale" in batch
-             else {})  # int8-wire side tensor rides with its v
-    return {
-        **extra,
-        "v": tile(batch["v"]),
-        "b": tile(batch["b"]),
-        "v_mask": tile(batch["v_mask"]),
+    out = {
         "q": tile(batch["q"]),
         "a": batch["ans_mc"].reshape(B * n, -1),
         "target": np.concatenate([a, 1.0 - a], axis=1).astype(np.float32),
         "qid": tile(batch["qid"]),
     }
+    # int8-wire side tensor (v_scale) rides with its v
+    for k in ("v", "b", "v_mask", "v_scale", "ds_idx"):
+        if k in batch:
+            out[k] = tile(batch[k])
+    return out

@@ -46,9 +46,18 @@ def compute_score_with_emb(pred_emb: np.ndarray, mc_emb: np.ndarray,
 
 def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
                 compute_dtype: str = "float32",
-                transfer_dtype: str = "float32") -> Tuple[float, float]:
+                transfer_dtype: str = "float32",
+                dev_store=None) -> Tuple[float, float]:
     """-> (accuracy, upper_bound=1.0). Uses the same x4 expansion as
-    training (``MC/test.py:89-126``)."""
+    training (``MC/test.py:89-126``).
+
+    ``dev_store``: gather v/b from the HBM tables (the loader must then be
+    ``fields_only``, shipping ``ds_idx``; expansion tiles the indices so
+    the gather returns the expanded slabs).  The gathered ``v_mask`` is
+    DROPPED to match this wire path, which never ships one — the model
+    derives it from the zero-padded feature rows
+    (``models.common.box_mask_from_features``), and sentinel rows gather
+    to exact zeros, so logits stay bit-equal."""
     from vqatpu.eval.ffoe import _maybe_shard
     from vqatpu.train.steps import wire_cast
 
@@ -58,10 +67,19 @@ def evaluate_mc(model, params, loader: BatchLoader, mesh=None,
     for batch in loader:
         valid = batch.pop("valid")
         ex = expand_mc_batch(batch)
+        ds_idx = ex.pop("ds_idx", None)
         db = wire_cast({k: ex[k] for k in ("v", "v_scale", "b", "q", "a")
                         if k in ex},
                        transfer_dtype)
-        out = eval_step(params, _maybe_shard(db, mesh))
+        if dev_store is not None:
+            # wire fields still need mesh placement; the gathered slabs are
+            # already P(data) on the store's mesh (cf. eval.ffoe.evaluate)
+            db = _maybe_shard(db, mesh)
+            g = dev_store.gather(ds_idx)
+            db.update({k: g[k] for k in ("v", "v_scale", "b") if k in g})
+        else:
+            db = _maybe_shard(db, mesh)
+        out = eval_step(params, db)
         logits = np.asarray(out["logits"])
         groups = np.repeat(valid, NUM_CANDIDATES)
         # score only valid groups

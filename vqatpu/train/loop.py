@@ -405,7 +405,8 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                     eval_score, bound = evaluate_mc(
                         model, state.params, eval_loader, mesh=mesh,
                         compute_dtype=cfg.compute_dtype,
-                        transfer_dtype=cfg.transfer_dtype)
+                        transfer_dtype=cfg.transfer_dtype,
+                        dev_store=eval_dev_store)
                 else:
                     eval_score, bound = evaluate_ffoe(
                         model, state.params, eval_loader, mesh=mesh,
