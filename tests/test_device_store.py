@@ -126,8 +126,11 @@ def test_final_batch_padding_gathers_zeros(dataset):
 def test_capability_gate(dataset):
     ok, _ = devstore_capable(dataset)
     assert ok
-    ok, why = devstore_capable(dataset, task="mc")
-    assert not ok and "FFOE" in why
+    # r4-late: MC rides the store too (tiled-index x4 expansion)
+    ok, _ = devstore_capable(dataset, task="mc")
+    assert ok
+    ok, why = devstore_capable(dataset, task="nope")
+    assert not ok and "nope" in why
     ok, why = devstore_capable(object())
     assert not ok
 
