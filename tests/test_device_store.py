@@ -135,6 +135,85 @@ def test_capability_gate(dataset):
     assert not ok
 
 
+def test_normalize_device_features():
+    from vqatpu.data.device_store import normalize_device_features as norm
+
+    assert norm("auto") == norm("AUTO") == "auto"
+    assert norm("on") == norm(True) == "on"
+    assert norm("off") == norm(False) == norm(None) == "off"
+    with pytest.raises(ValueError):
+        norm("maybe")
+
+
+@pytest.mark.parametrize("transfer_dtype", ["float32", "float16", "int8"])
+def test_estimate_matches_built_store(dataset, transfer_dtype):
+    """estimate_hbm_bytes (pure shape arithmetic, runs before any
+    allocation) must track the built store's actual hbm_bytes — the only
+    allowed slack is the one all-zero sentinel row build appends."""
+    from vqatpu.data.device_store import estimate_hbm_bytes
+
+    est = estimate_hbm_bytes(dataset, transfer_dtype)
+    built = DeviceFeatureStore.build(dataset, transfer_dtype=transfer_dtype)
+    assert 0 <= built.hbm_bytes - est <= 64 * 1024
+
+
+def test_devstore_decision_tristate(dataset, root_and_dict, monkeypatch):
+    from vqatpu.data.device_store import devstore_decision
+
+    # off: silent no-build
+    assert devstore_decision(dataset, "off", "float32") == (False, "")
+    assert devstore_decision(dataset, False, "float32") == (False, "")
+    # auto: capable + tiny fixture fits any sane budget
+    build, why = devstore_decision(dataset, "auto", "float32")
+    assert build, why
+    # auto: a zero budget declines with an actionable reason
+    monkeypatch.setenv("VQATPU_DEVSTORE_BUDGET_MB", "0")
+    build, why = devstore_decision(dataset, "auto", "float32")
+    assert not build and "budget" in why and "--device_features on" in why
+    # ... but an explicit on overrides the budget check
+    build, why = devstore_decision(dataset, "on", "float32")
+    assert build, why
+    monkeypatch.delenv("VQATPU_DEVSTORE_BUDGET_MB")
+    # on + incapable dataset: loud reason
+    root, d = root_and_dict
+    streaming = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16,
+                                  features_in_memory=False)
+    build, why = devstore_decision(streaming, "on", "float32")
+    assert not build and "streaming" in why
+    # auto + incapable: declines with the capability reason, no crash
+    build, why = devstore_decision(streaming, "auto", "float32")
+    assert not build and "streaming" in why
+
+
+def test_train_default_auto_rides_store(root_and_dict, tmp_path,
+                                        monkeypatch):
+    """The DEFAULT TrainConfig (device_features='auto') builds the store
+    for a capable in-memory dataset — the 20x input-pipeline win is the
+    default experience — and auto-declines LOUDLY when the HBM budget
+    can't fit the tables."""
+    from vqatpu.config import ModelConfig, TrainConfig
+    from vqatpu.models import build_model
+    from vqatpu.train.loop import train
+
+    root, d = root_and_dict
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=16)
+    mcfg = ModelConfig(ntoken=d.ntoken, v_dim=ds.v_dim,
+                       num_ans_candidates=ds.num_ans_candidates,
+                       model="ban", num_hid=32, gamma=2)
+    cfg = TrainConfig(epochs=1, batch_size=8, saving_epoch=99)
+    assert cfg.device_features == "auto"
+    train(build_model(mcfg), ds, None, cfg, str(tmp_path / "auto_on"),
+          use_mesh=False, use_native_loader=False)
+    log = (tmp_path / "auto_on" / "log.txt").read_text()
+    assert "device feature store:" in log
+
+    monkeypatch.setenv("VQATPU_DEVSTORE_BUDGET_MB", "0")
+    train(build_model(mcfg), ds, None, cfg, str(tmp_path / "auto_off"),
+          use_mesh=False, use_native_loader=False)
+    log = (tmp_path / "auto_off" / "log.txt").read_text()
+    assert "device feature store auto-OFF" in log and "budget" in log
+
+
 @pytest.mark.parametrize("shard", [False, True])
 def test_mesh_gather(dataset, shard):
     """8-virtual-device mesh: replicated tables (int8 out) and row-sharded

@@ -181,7 +181,11 @@ def test_train_loop_through_native_loader(dataset, tmp_path):
     cfg = ModelConfig(ntoken=dataset.dictionary.ntoken, v_dim=dataset.v_dim,
                       num_ans_candidates=dataset.num_ans_candidates,
                       model="cti", num_hid=16, h_mm=8, rank=2, gamma=2)
-    tcfg = TrainConfig(epochs=2, batch_size=8, update_freq=1, saving_epoch=99)
+    # device_features off: this test exists to compare the native vs
+    # Python WIRE paths — the auto default would bypass both via the
+    # HBM store (tests/test_device_store.py covers that path)
+    tcfg = TrainConfig(epochs=2, batch_size=8, update_freq=1, saving_epoch=99,
+                       device_features=False)
     model = build_model(cfg)
 
     def lines(out):
@@ -256,8 +260,11 @@ def test_train_loop_int8_native_matches_python_wire(dataset, tmp_path):
     cfg = ModelConfig(ntoken=dataset.dictionary.ntoken, v_dim=dataset.v_dim,
                       num_ans_candidates=dataset.num_ans_candidates,
                       model="cti", num_hid=16, h_mm=8, rank=2, gamma=2)
+    # device_features off: compares the two int8 WIRE quantizers, which
+    # the auto default would bypass via the HBM store
     tcfg = TrainConfig(epochs=1, batch_size=8, update_freq=1,
-                       saving_epoch=99, transfer_dtype="int8")
+                       saving_epoch=99, transfer_dtype="int8",
+                       device_features=False)
     model = build_model(cfg)
 
     def lines(out):

@@ -90,13 +90,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "chunk-wise — 4x less host RAM; composes "
                              "with --transfer_dtype int8, whose wire "
                              "bytes become pure memcpys)")
-    parser.add_argument("--device_features", action="store_true",
-                        default=False,
+    parser.add_argument("--device_features", nargs="?", const="on",
+                        default="auto", choices=("auto", "on", "off"),
                         help="upload the feature store to HBM once and "
                              "gather v/b by index ON DEVICE — per-batch "
                              "wire shrinks to ~50 KB of row indices; "
-                             "batches are bit-identical to the wire path "
-                             "(FFOE training; falls back loudly otherwise)")
+                             "batches are bit-identical to the wire path. "
+                             "auto (default): on when the dataset is "
+                             "capable and the tables fit the HBM budget; "
+                             "bare --device_features forces on (declines "
+                             "loudly when impossible); off disables")
     parser.add_argument("--shard_feature_store", action="store_true",
                         default=False,
                         help="row-shard the HBM feature tables across the "
@@ -260,7 +263,7 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),
         mask_bits=getattr(args, "mask_bits", 32),
-        device_features=getattr(args, "device_features", False),
+        device_features=getattr(args, "device_features", "auto"),
         shard_feature_store=getattr(args, "shard_feature_store", False),
         sparse_targets=getattr(args, "sparse_targets", False),
     )

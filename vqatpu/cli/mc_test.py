@@ -44,21 +44,23 @@ def main(argv=None):
     params = jax.tree.map(jax.numpy.asarray,
                           load_params_any(args.input, args.epoch, model))
 
+    # sweep with HBM-resident features: the loader ships only row
+    # indices, the x4 expansion tiles them, the jitted gather
+    # materializes the expanded slabs (bit-identical accuracy —
+    # tests/test_device_store.py::test_mc_eval_matches_wire).
+    # Tri-state: auto (default, on when capable + fits budget) / on / off.
+    from vqatpu.data.device_store import DeviceFeatureStore, \
+        devstore_decision
     dev_store = None
-    if args.device_features or args.shard_feature_store:
-        # sweep with HBM-resident features: the loader ships only row
-        # indices, the x4 expansion tiles them, the jitted gather
-        # materializes the expanded slabs (bit-identical accuracy —
-        # tests/test_device_store.py::test_mc_eval_matches_wire)
-        from vqatpu.data.device_store import DeviceFeatureStore, \
-            devstore_capable
-        ok, why = devstore_capable(eval_dset, task="mc")
-        if ok:
-            dev_store = DeviceFeatureStore.build(
-                eval_dset, transfer_dtype=args.transfer_dtype)
-            print(f"device feature store: {dev_store.describe()}")
-        else:
-            print(f"device feature store OFF ({why}); using host wire")
+    build, why = devstore_decision(eval_dset, args.device_features,
+                                   args.transfer_dtype, task="mc",
+                                   shard=args.shard_feature_store)
+    if build:
+        dev_store = DeviceFeatureStore.build(
+            eval_dset, transfer_dtype=args.transfer_dtype)
+        print(f"device feature store: {dev_store.describe()}")
+    elif why:
+        print(f"device feature store OFF ({why}); using host wire")
     acc, _ = evaluate_mc(model, params,
                          make_eval_loader(eval_dset, args.batch_size,
                                           use_native=args.native_loader,

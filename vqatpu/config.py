@@ -134,10 +134,13 @@ class TrainConfig:
     # whole store to HBM once and gather v/b/v_mask by index ON DEVICE —
     # the per-batch wire carries ~50 KB of row indices instead of the
     # ~100 MB (f32) feature slab.  Batches are bit-identical to the wire
-    # path for every transfer_dtype, so trajectories don't change.  FFOE
-    # only; falls back loudly when the dataset can't be uploaded
+    # path for every transfer_dtype, so trajectories don't change.
+    # Tri-state: "auto" (default — build when the dataset is capable AND
+    # estimate_hbm_bytes fits hbm_budget_bytes), "on" (force; declines
+    # loudly when impossible), "off".  Bools accepted (True->on,
+    # False->off).  Falls back loudly when the dataset can't be uploaded
     # (streaming store) or under multi-process training.
-    device_features: bool = False
+    device_features: str = "auto"
     # Row-shard the HBM tables across the mesh's data axis for stores
     # bigger than one chip's HBM (gather via all-gather(indices) +
     # psum_scatter over ICI; values still bit-equal — see

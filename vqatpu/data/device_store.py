@@ -35,6 +35,7 @@ per device per batch.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -110,6 +111,103 @@ def devstore_capable(dataset, task: str = "ffoe") -> Tuple[bool, str]:
         if not getattr(d.store, "in_memory", True):
             return False, ("streaming store (--stream_features) can't be "
                            "uploaded to HBM — drop one of the two flags")
+    return True, ""
+
+
+def normalize_device_features(value) -> str:
+    """Tri-state ``--device_features`` knob: ``"auto"`` (the default —
+    build the store when the dataset is capable AND the tables fit the
+    HBM budget), ``"on"`` (build, declining loudly when impossible),
+    ``"off"``.  Bools are accepted for back-compat (True -> on,
+    False -> off)."""
+    if value is True:
+        return "on"
+    if value is False or value is None:
+        return "off"
+    v = str(value).lower()
+    if v not in ("auto", "on", "off"):
+        raise ValueError(
+            f"device_features must be auto/on/off, got {value!r}")
+    return v
+
+
+def estimate_hbm_bytes(dataset, transfer_dtype: str = "float32") -> int:
+    """Predicted HBM footprint of :meth:`DeviceFeatureStore.build` WITHOUT
+    building it — pure shape arithmetic following build's dtype rules
+    (int8 rows + f32 scales under an int8 wire or all-int8-resident f32
+    wire; wire-width casts otherwise; spatials f16 under int8).  Used by
+    the ``auto`` mode's fit check before any host/device allocation."""
+    stores, seen = [], set()
+    for d in _dataset_members(dataset):
+        if id(d.store) not in seen:
+            seen.add(id(d.store))
+            stores.append(d.store)
+    int8_resident = all(s.feat_scales is not None for s in stores)
+    want_int8 = transfer_dtype == "int8" or (
+        transfer_dtype == "float32" and int8_resident)
+    wire_width = {"float32": 4, "float16": 2, "bfloat16": 2, "int8": 1}
+    total = 0
+    for s in stores:
+        f_shape = np.shape(s.features)
+        rows = f_shape[0] if s.adaptive else f_shape[0] * f_shape[1]
+        v_dim = f_shape[-1]
+        s_dim = np.shape(s.spatials)[-1]
+        per_feat = (v_dim + 4) if want_int8 \
+            else v_dim * wire_width[transfer_dtype]
+        per_sp = s_dim * (2 if transfer_dtype != "float32" else 4)
+        total += rows * (per_feat + per_sp)
+    return int(total)
+
+
+def hbm_budget_bytes(device=None) -> Tuple[int, str]:
+    """(budget, source) for the auto-mode fit check: the
+    ``VQATPU_DEVSTORE_BUDGET_MB`` override if set, else 50% of the
+    backend-reported free device memory (leaving room for activations /
+    grad buffers the step allocates later), else a conservative 4 GiB
+    when the backend publishes no memory stats (CPU tests)."""
+    env = os.environ.get("VQATPU_DEVSTORE_BUDGET_MB")
+    if env:
+        return int(float(env) * 2**20), "VQATPU_DEVSTORE_BUDGET_MB"
+    dev = device if device is not None else jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:  # noqa: BLE001 — backends without stats
+        stats = {}
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if limit:
+        free = max(0, int(limit) - int(stats.get("bytes_in_use", 0)))
+        return free // 2, "50% of free device memory"
+    return 4 * 2**30, "4 GiB default (no backend memory stats)"
+
+
+def devstore_decision(dataset, mode, transfer_dtype: str,
+                      task: str = "ffoe",
+                      shard: bool = False) -> Tuple[bool, str]:
+    """Resolve the tri-state knob to ``(build?, reason-if-not)``.
+
+    ``off`` -> (False, "") — silent, the user opted out.  ``on`` (or
+    ``shard``, which implies it) -> capability check only; incapable
+    declines with a loud reason.  ``auto`` -> capability check PLUS the
+    HBM fit check (:func:`estimate_hbm_bytes` vs
+    :func:`hbm_budget_bytes`), so the 20x input-pipeline win is the
+    default experience whenever it is safe."""
+    mode = normalize_device_features(mode)
+    if shard:
+        mode = "on"
+    if mode == "off":
+        return False, ""
+    ok, why = devstore_capable(dataset, task)
+    if not ok:
+        return False, why
+    if mode == "auto":
+        est = estimate_hbm_bytes(dataset, transfer_dtype)
+        budget, src = hbm_budget_bytes()
+        if est > budget:
+            return False, (
+                f"auto: estimated tables {est / 2**20:.0f} MiB exceed the "
+                f"budget {budget / 2**20:.0f} MiB ({src}) — force with "
+                "--device_features on, or row-shard across the mesh with "
+                "--shard_feature_store")
     return True, ""
 
 
