@@ -115,3 +115,28 @@ def test_dropout_mask_bits16_unbiased(rng):
     # eval mode / rate 0: identity regardless of mask_bits
     assert dropout(x, 0.0, Ctx(train=True, rng=jax.random.PRNGKey(0),
                                mask_bits=16)) is x
+
+
+def test_dropout_mask_replay_bit_equal():
+    """The replay VJP (mask regenerated in backward from the saved key) is
+    bit-identical to plain AD (mask kept as a residual) in BOTH directions,
+    for both mask_bits paths — so mask_replay=True changes no trajectory."""
+    import jax
+    import jax.numpy as jnp
+    from vqatpu.ops.module import Ctx, dropout
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 96))
+    ct = jax.random.normal(jax.random.PRNGKey(2), (64, 96))
+    for mask_bits in (32, 16):
+        for rate in (0.2, 0.5):
+            outs = {}
+            for replay in (False, True):
+                def f(x_):
+                    ctx = Ctx(train=True, rng=jax.random.PRNGKey(7),
+                              mask_bits=mask_bits, mask_replay=replay)
+                    return dropout(x_, rate, ctx)
+                y, vjp = jax.vjp(f, x)
+                g, = vjp(ct)
+                outs[replay] = (np.asarray(y), np.asarray(g))
+            assert (outs[False][0] == outs[True][0]).all()
+            assert (outs[False][1] == outs[True][1]).all()

@@ -146,6 +146,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--mask_bits", type=int, default=32, choices=[32, 16],
                         help="dropout mask source: 32 = exact bernoulli, "
                              "16 = uint16 threshold (half the RNG bits)")
+    parser.add_argument("--mask_replay", action="store_true", default=False,
+                        help="regenerate dropout masks from the PRNG key in "
+                             "backward instead of saving them as residuals "
+                             "(bit-identical; measured a wash at reference "
+                             "shapes — knob for large-V regimes)")
     parser.add_argument("--fused_v_tucker", action="store_true", default=False,
                         help="one GEMM for the v-side tucker projections "
                              "(shared dropout mask; measured ~even)")
@@ -263,6 +268,7 @@ def train_config_from_args(args, saving_epoch: int = 9) -> TrainConfig:
         ckpt_backend=args.ckpt_backend,
         rng_impl=getattr(args, "rng_impl", "rbg"),
         mask_bits=getattr(args, "mask_bits", 32),
+        mask_replay=getattr(args, "mask_replay", False),
         device_features=getattr(args, "device_features", "auto"),
         shard_feature_store=getattr(args, "shard_feature_store", False),
         sparse_targets=getattr(args, "sparse_targets", False),

@@ -111,6 +111,12 @@ class TrainConfig:
     # (half the RNG bits; keep-prob quantized to 1/65536 with the inverted
     # scale using the exact realized probability — unbiased)
     mask_bits: int = 32
+    # Regenerate dropout masks from the saved PRNG key in backward (custom
+    # VJP) instead of keeping ~95M realized mask elements alive as AD
+    # residuals.  Bit-identical either way (tests/test_ops_linear.py);
+    # measured a wash on time AND temp memory at CTI reference shapes
+    # (scripts/ab_dropout_replay.py) — kept off, knob for large-V regimes.
+    mask_replay: bool = False
     ckpt_backend: str = "pickle"  # or "orbax" (multi-host/sharded restore)
     # True disables dropout inside the train step (the only train/eval
     # behavioral difference in these models).  Used by the reference

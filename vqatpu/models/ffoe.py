@@ -298,7 +298,8 @@ class CTIModel:
             sub_ctx = (None if (sub_rng is None and not inject) else
                        Ctx(train=True, rng=sub_rng,
                            mask_bits=ctx.mask_bits if ctx else 32,
-                           mask_source=ctx.mask_source if ctx else None))
+                           mask_source=ctx.mask_source if ctx else None,
+                           mask_replay=ctx.mask_replay if ctx else False))
             if qav:
                 return self.t_net.apply_with_weights_qav(
                     tp, v_, q_, a_, w_, sub_ctx, v_t=v_t)

@@ -20,6 +20,7 @@ wants.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -71,11 +72,13 @@ class Ctx:
     externally captured masks — the dropout-active trajectory-parity hook."""
 
     def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
-                 mask_bits: int = 32, mask_source: Optional[MaskSource] = None):
+                 mask_bits: int = 32, mask_source: Optional[MaskSource] = None,
+                 mask_replay: bool = False):
         self.train = train
         self.rng = rng
         self.mask_bits = mask_bits
         self.mask_source = mask_source
+        self.mask_replay = mask_replay
         self._counter = 0
 
     def dropout_key(self) -> jax.Array:
@@ -102,8 +105,55 @@ def fast_rng(key: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(data, impl="rbg")
 
 
+def _masked_apply(keep: float, mask_bits: int, x: jnp.ndarray,
+                  key: jax.Array) -> jnp.ndarray:
+    """Draw the dropout mask from ``key`` and apply it to ``x`` (inverted
+    scaling).  Pure function of (key, shape), so calling it again with the
+    same key regenerates the *identical* mask — the property the replay VJP
+    below relies on."""
+    if mask_bits == 16:
+        thresh = max(round(keep * 65536.0), 1)  # rate→1.0 must not div-by-0
+        bits = jax.random.bits(key, x.shape, jnp.uint16)
+        mask = bits.astype(jnp.uint32) < jnp.uint32(thresh)
+        return jnp.where(mask, x * (65536.0 / thresh), jnp.zeros_like(x))
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _dropout_replay(keep: float, mask_bits: int, x: jnp.ndarray,
+                    key: jax.Array) -> jnp.ndarray:
+    return _masked_apply(keep, mask_bits, x, key)
+
+
+def _dropout_replay_fwd(keep, mask_bits, x, key):
+    return _masked_apply(keep, mask_bits, x, key), key
+
+
+def _dropout_replay_bwd(keep, mask_bits, key, g):
+    # Regenerating from the saved key yields bit-identical masks, so this IS
+    # d/dx of the forward — not an approximation (tests/test_ops.py asserts
+    # bit-equality against the plain-AD path).
+    return _masked_apply(keep, mask_bits, g, key), None
+
+
+_dropout_replay.defvjp(_dropout_replay_fwd, _dropout_replay_bwd)
+
+
 def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
-    """Inverted dropout matching ``torch.nn.Dropout`` semantics."""
+    """Inverted dropout matching ``torch.nn.Dropout`` semantics.
+
+    With ``ctx.mask_replay`` the mask is REGENERATED in the backward pass
+    from the saved PRNG key instead of being stored as an AD residual
+    (plain AD keeps every realized mask alive from forward to backward,
+    ~95M bool elements/step at CTI reference shapes).  Bit-identical to the
+    plain path in both directions.  Measured at CTI reference shapes
+    (scripts/ab_dropout_replay.py, interleaved): a WASH on step time
+    (12.0-12.3 ms both ways) AND on compiled temp memory (812.3 MB
+    identical — the backward peak is set elsewhere, and XLA's rbg mask
+    residuals are already cheap bools), so the default stays False; the
+    knob exists for large-V regimes where mask residuals could dominate
+    the live set."""
     if rate <= 0.0 or ctx is None or not ctx.train:
         return x
     keep = 1.0 - rate
@@ -112,13 +162,9 @@ def dropout(x: jnp.ndarray, rate: float, ctx: Optional[Ctx]) -> jnp.ndarray:
         # scaling: x * mask / keep — matching F.dropout exactly)
         mask = jnp.asarray(ctx.mask_source.next_mask(x.shape), x.dtype)
         return x * mask / keep
-    if ctx.mask_bits == 16:
-        thresh = max(round(keep * 65536.0), 1)  # rate→1.0 must not div-by-0
-        bits = jax.random.bits(ctx.dropout_key(), x.shape, jnp.uint16)
-        mask = bits.astype(jnp.uint32) < jnp.uint32(thresh)
-        return jnp.where(mask, x * (65536.0 / thresh), jnp.zeros_like(x))
-    mask = jax.random.bernoulli(ctx.dropout_key(), keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    if ctx.mask_replay:
+        return _dropout_replay(keep, ctx.mask_bits, x, ctx.dropout_key())
+    return _masked_apply(keep, ctx.mask_bits, x, ctx.dropout_key())
 
 
 def uniform(key: jax.Array, shape, bound: float, dtype=jnp.float32) -> jnp.ndarray:

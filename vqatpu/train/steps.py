@@ -219,7 +219,8 @@ def make_train_step(model, cfg: TrainConfig, tfidf_loaded: bool = False,
             # cfg.deterministic turns it off for trajectory-parity runs
             # against the torch reference
             ctx = Ctx(train=not cfg.deterministic, rng=rng,
-                      mask_bits=cfg.mask_bits)
+                      mask_bits=cfg.mask_bits,
+                      mask_replay=getattr(cfg, "mask_replay", False))
         batch = _upcast_wire(batch)
         if half is not None:
             # bf16 activations/params in the forward+backward; f32 master
