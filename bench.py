@@ -77,7 +77,7 @@ def main():
     # Best of 8 windows: the shared tunnel drifts +-15% on minute scales
     # (CLAUDE.md), so more windows = a fairer shot at an uncontended slot.
     iters = 60
-    best_dt = float("inf")
+    dts = []
     for w in range(8):
         t0 = time.perf_counter()
         for i in range(iters):
@@ -85,14 +85,23 @@ def main():
                                   jax.random.fold_in(key, 100 + w * iters + i))
         # readback forces the whole dependent chain to finish
         float(np.asarray(metrics["loss"]))
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
-    samples_per_sec = B * iters / best_dt
+    # `value` stays best-window samples/s (the driver contract); `windows`
+    # carries the [best, median, worst] window throughputs so cross-round
+    # flat-vs-regression calls are decidable from the artifact: two rounds
+    # whose [best, worst] intervals overlap are tunnel weather, not a
+    # regression (CLAUDE.md: the tunnel drifts +-2 ms on minute scales).
+    thr = sorted(B * iters / dt for dt in dts)
+    samples_per_sec = thr[-1]
     print(json.dumps({
         "metric": "cti_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / V100_BAN_SAMPLES_PER_SEC, 3),
+        "windows": [round(samples_per_sec, 2),
+                    round(float(np.median(thr)), 2),
+                    round(thr[0], 2)],
     }))
 
 
