@@ -1,6 +1,6 @@
 # vqatpu developer entry points
 
-.PHONY: test bench native native-test tsan clean
+.PHONY: test bench native native-test tsan clean runbook-smoke
 
 test:
 	python -m pytest tests/ -q
@@ -20,3 +20,6 @@ tsan:
 clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -prune -exec rm -rf {} +
+
+runbook-smoke:
+	python scripts/runbook_smoke.py
