@@ -67,6 +67,19 @@ def main():
         print(f"B={B}: warm in {time.perf_counter()-t0:.1f}s", flush=True)
         rigs[B] = [batch, state, step, key]
 
+    # free-HBM sanity print: all rigs stay resident at once (~850 MB
+    # params+Adamax+accum each plus the B=2048 slab), so this interleaved
+    # A/B runs under materially higher HBM pressure than bench.py's
+    # single-rig numbers — check headroom before trusting the comparison.
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if stats.get("bytes_limit"):
+            free = (stats["bytes_limit"] - stats.get("bytes_in_use", 0)) / 2**30
+            print(f"free HBM after warmup: {free:.2f} GiB", flush=True)
+    except Exception:
+        pass
+    lr = jnp.float32(1e-3)  # hoisted: a per-iteration scalar would add a
+    # host->device transfer inside every timed dispatch (bench.py:69)
     best = {B: float("inf") for B in sizes}
     for w in range(5):
         for B in sizes:
@@ -74,7 +87,7 @@ def main():
             iters = max(8, 8192 // B)
             t0 = time.perf_counter()
             for i in range(iters):
-                state, metrics = step(state, batch, jnp.float32(1e-3),
+                state, metrics = step(state, batch, lr,
                                       jax.random.fold_in(key, 100 + w * 64 + i))
             float(np.asarray(metrics["loss"]))
             dt = (time.perf_counter() - t0) / iters
