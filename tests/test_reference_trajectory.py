@@ -635,14 +635,10 @@ def _make_mc_batches(seed: int, n_epochs: int):
     return per_epoch
 
 
-def _assert_mc_trajectory(ref, tmp_path, model_name: str,
-                          use_counter: bool = False):
-    """The MC pipeline has its OWN loop/Trainer (MC/train.py:22-120 with the
-    x4 candidate expansion, MC/trainer.py) — run them end to end against
-    vqatpu's MC models + expand_mc_batch + jitted step."""
-    from vqatpu.data.mc_dataset import expand_mc_batch
-
-    num_epochs, update_freq = 3, 2
+def _make_mc_pair(ref, model_name: str, use_counter: bool = False,
+                  update_freq: int = 2):
+    """MC analog of :func:`_make_pair`: vqatpu MC model + init state, and
+    the reference MC model (``MC/base_model``) carrying the SAME weights."""
     cfg = ModelConfig(ntoken=NTOKEN, v_dim=V_DIM, num_ans_candidates=NUM_ANS,
                       model=model_name, task="mc", num_hid=HID, h_mm=HMM,
                       rank=RANK, gamma=GAMMA, use_counter=use_counter)
@@ -664,6 +660,19 @@ def _assert_mc_trajectory(ref, tmp_path, model_name: str,
     for name, param in model_t.named_parameters():
         if name.startswith(_DEAD_PREFIXES):
             param.requires_grad = False
+    return model_j, state, model_t, args
+
+
+def _assert_mc_trajectory(ref, tmp_path, model_name: str,
+                          use_counter: bool = False):
+    """The MC pipeline has its OWN loop/Trainer (MC/train.py:22-120 with the
+    x4 candidate expansion, MC/trainer.py) — run them end to end against
+    vqatpu's MC models + expand_mc_batch + jitted step."""
+    from vqatpu.data.mc_dataset import expand_mc_batch
+
+    num_epochs, update_freq = 3, 2
+    model_j, state, model_t, args = _make_mc_pair(
+        ref, model_name, use_counter=use_counter, update_freq=update_freq)
 
     per_epoch = _make_mc_batches(seed=13, n_epochs=num_epochs)
     ref_losses, ref_norms, ref_lrs, _, _ = _run_reference(
@@ -722,3 +731,131 @@ def test_mc_ban_counter_trajectory_matches_reference(ref, tmp_path):
     gradient and its own _get_flat_grads raises — i.e. the reference MC BAN
     is only trainable with use_counter=True; that is the scenario run."""
     _assert_mc_trajectory(ref, tmp_path, "ban", use_counter=True)
+
+
+class _RefMCEvalLoader:
+    """Stands in for the reference's MC eval DataLoader: yields the SAME
+    eval batches vqatpu's ``make_eval_loader`` sweep sees (valid rows only —
+    the reference never pads), in the 6-tuple order MC ``evaluate()``
+    unpacks (``MC/train.py:129``).  ``b`` is zeros: TanModel's forward
+    ignores it (``MC/base_model.py:129-151``) and MC evaluate never expands
+    it x4 anyway."""
+
+    def __init__(self, batches, n_samples: int):
+        self._batches = batches
+        self.dataset = [None] * n_samples  # evaluate divides by len(dataset)
+
+    def __iter__(self):
+        t = torch.from_numpy
+        out = []
+        for b in self._batches:
+            valid = b["valid"]
+            nb = int(valid.sum())
+            out.append((
+                t(b["v"][valid]),
+                torch.zeros(nb, V, 6),
+                t(b["q"][valid].astype(np.int64)),
+                t(b["label"][valid]),
+                t(b["ans_mc"][valid].astype(np.int64)),
+                torch.zeros(nb),
+            ))
+        return iter(out)
+
+
+def test_mc_inloop_eval_and_checkpoint_match_reference(ref, tmp_path,
+                                                       monkeypatch):
+    """MC analog of the FFOE in-loop oracle: the reference's own MC
+    ``train()`` WITH its in-loop ``evaluate()`` (``MC/train.py:103-107,
+    123-161`` — x4 candidate expansion + ``compute_score_mc`` argmax-pick
+    scoring) and checkpoint policy (``:113-120``, hard-coded
+    ``saving_epoch = 0`` at ``:29`` + ``model_epoch_best`` selection), vs
+    the FULL ``vqatpu.train.loop.train(task="mc")``.  Both sides see
+    identical batch streams (the reference is fed a snapshot of vqatpu's
+    own seeded loaders).  Asserts per-epoch eval score, the reference's
+    upper bound (sum of candidate labels / n_samples == 1.0 — exactly one
+    GT per 4-candidate group — matching evaluate_mc's constant), the
+    every-epoch checkpoint saves, the ``model_epoch_best`` sequence, and
+    final-params parity after 6 epochs."""
+    import vqatpu.train.loop as loop_mod
+    from tests.helpers.synth_ds import SynthV7WDataset
+    from vqatpu.data.batching import BatchLoader
+
+    num_epochs, update_freq = 6, 2
+    model_j, state, model_t, args = _make_mc_pair(ref, "cti",
+                                                  update_freq=update_freq)
+    train_ds = SynthV7WDataset(L * B, v_dim=V_DIM, boxes=V, q_len=Q,
+                               a_len=6, ntoken=NTOKEN, seed=31)
+    eval_ds = SynthV7WDataset(3 * B, v_dim=V_DIM, boxes=V, q_len=Q,
+                              a_len=6, ntoken=NTOKEN, seed=32)
+
+    tcfg = TrainConfig(epochs=num_epochs, batch_size=B,
+                       update_freq=update_freq, deterministic=True,
+                       saving_epoch=0, device_features="off", seed=1204)
+
+    # snapshot the EXACT batch streams loop.train's seeded loaders will
+    # yield (cf. test_inloop_eval_and_best_checkpoint_match_reference);
+    # b is zeros — TanModel ignores it, and the reference's MC train()
+    # never expands it x4 (MC/train.py:76-80)
+    snap = BatchLoader(train_ds, B, shuffle=True, seed=tcfg.seed,
+                       drop_last=True)
+    per_epoch = []
+    for _ in range(num_epochs):
+        per_epoch.append([
+            dict(v=bt["v"], b=np.zeros((B, V, 6), np.float32),
+                 q=bt["q"].astype(np.int64), label=bt["label"],
+                 ans_mc=bt["ans_mc"].astype(np.int64))
+            for bt in snap])
+    eval_batches = list(BatchLoader(eval_ds, B * 2))
+
+    _, _, _, ref_evals, ref_saves = _run_reference(
+        ref, args, model_t, per_epoch, num_epochs, str(tmp_path / "ref"),
+        pipeline="mc",
+        eval_loader=_RefMCEvalLoader(eval_batches, len(eval_ds)))
+
+    # vqatpu side: the REAL loop, with its eval + checkpoint calls recorded
+    j_evals, j_saves = [], []
+    orig_eval = loop_mod.evaluate_mc
+
+    def rec_eval(*a, **kw):
+        s, bound = orig_eval(*a, **kw)
+        j_evals.append((float(s), float(bound)))
+        return s, bound
+
+    monkeypatch.setattr(loop_mod, "evaluate_mc", rec_eval)
+    monkeypatch.setattr(
+        loop_mod, "_save_ckpt",
+        lambda output, name, st, epoch, backend, extra=None:
+            j_saves.append((name, int(epoch))))
+    state = loop_mod.train(model_j, train_ds, eval_ds, tcfg,
+                           str(tmp_path / "vqatpu"), task="mc", state=state,
+                           use_mesh=False, use_native_loader=False,
+                           print_interval=10 ** 9)
+
+    assert len(ref_evals) == len(j_evals) == num_epochs
+    # MC scores are quantized (correct picks / 24): parity means the SAME
+    # candidate picked in every group every epoch, not just close numbers
+    np.testing.assert_allclose([e[0] for e in j_evals],
+                               [e[0] for e in ref_evals], rtol=1e-6,
+                               atol=1e-8, err_msg="per-epoch MC eval score")
+    for s, bound in ref_evals + j_evals:
+        assert abs(bound - 1.0) < 1e-6, ("MC upper bound", bound)
+
+    # checkpoint policy: MC saves EVERY epoch (saving_epoch=0), plus best
+    ref_epochs = [e for n, e in ref_saves if n.startswith("model_epoch")
+                  and n != "model_epoch_best.pth"]
+    j_epochs = [e for n, e in j_saves if n.startswith("model_epoch")
+                and n != "model_epoch_best"]
+    assert ref_epochs == j_epochs == list(range(num_epochs))
+    ref_best = [e for n, e in ref_saves if n == "model_epoch_best.pth"]
+    j_best = [e for n, e in j_saves if n == "model_epoch_best"]
+    assert ref_best, "reference never selected a best checkpoint"
+    assert ref_best == j_best, (
+        "model_epoch_best selection diverged", ref_best, j_best)
+
+    # final params after 6 epochs of the composed loops
+    got = export_state_dict(model_j, state.params)
+    want = model_t.state_dict()
+    for k in sorted(got):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].detach().numpy(),
+            rtol=1e-3, atol=1e-3, err_msg=f"param {k} diverged")
