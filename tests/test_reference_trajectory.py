@@ -258,7 +258,7 @@ class _EpochLoader:
 
 def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
                    pipeline="ffoe", recorder=None, n_samples=None,
-                   eval_loader=None):
+                   eval_loader=None, opt=None, s_epoch=0):
     """Drive the reference's own composed train() loop (FFOE or MC),
     recording every microbatch loss, every update's pre-clip grad norm, and
     the live optimizer lr at each step.  ``recorder`` (a
@@ -311,7 +311,7 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
         loader = _EpochLoader(per_epoch, n_samples=n_samples or (L * B),
                               mc=(pipeline == "mc"))
         train_mod.train(args, model_t, loader, eval_loader, num_epochs,
-                        outdir)
+                        outdir, opt, s_epoch)
     finally:
         Trainer._forward, Trainer.train_step = orig_fwd, orig_step
         F.dropout = orig_dropout
@@ -322,7 +322,8 @@ def _run_reference(ref, args, model_t, per_epoch, num_epochs, outdir,
 
 
 def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
-                update_freq, mask_lists=None, force_last=False):
+                update_freq, mask_lists=None, force_last=False,
+                start_epoch=0):
     """``mask_lists``: per-microbatch lists of captured torch dropout masks
     (from :class:`_TorchMaskRecorder`); when given, the run goes
     dropout-ACTIVE, replaying the reference's exact masks through a
@@ -346,10 +347,11 @@ def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
     eager = (jax.disable_jit() if mask_lists is not None
              else contextlib.nullcontext())
     with eager:
-        for epoch in range(num_epochs):
+        for off in range(len(per_epoch)):
+            epoch = start_epoch + off
             lr = lr_for_epoch(tcfg, epoch)
-            n_batches = len(per_epoch[epoch])
-            for i, batch in enumerate(per_epoch[epoch]):
+            n_batches = len(per_epoch[off])
+            for i, batch in enumerate(per_epoch[off]):
                 db = {k: jnp.asarray(v) for k, v in batch.items()
                       if k in ("v", "b", "q", "a", "target", "t_logits")}
                 if mask_iter is not None:
@@ -859,3 +861,99 @@ def test_mc_inloop_eval_and_checkpoint_match_reference(ref, tmp_path,
         np.testing.assert_allclose(
             np.asarray(got[k]), want[k].detach().numpy(),
             rtol=1e-3, atol=1e-3, err_msg=f"param {k} diverged")
+
+
+def test_resume_trajectory_matches_reference(ref, tmp_path):
+    """The reference's checkpoint-RESUME path as a composed oracle
+    (previously covered only by vqatpu-side CLI tests): train CTI epochs
+    0-3, write the real ``{epoch, model_state, optimizer_state}``
+    checkpoint (``utils.save_model``, ``utils.py:98-106``), rebuild a FRESH
+    model + Adamax from it exactly as ``FFOE/main.py:121-128`` does
+    (``epoch = saved + 1``, optimizer state dict restored into a
+    default-lr Adamax), and continue epochs 4-7 — vs vqatpu's
+    ``save_checkpoint``/``restore_train_state`` round trip feeding the same
+    jitted step with ``start_epoch=4``.  The resumed leg's per-microbatch
+    losses, per-update grad norms, and final params must match — this
+    exercises the Adamax m/u/step-count round trip (torch Adamax
+    bias-corrects m by step, so a lost step count diverges immediately) and
+    the warmup-state handoff (epoch 4 runs at the saved 2x-warmup lr on
+    both sides).  A straight 8-epoch vqatpu run is asserted (near-)bit-equal
+    to its own split+resume run: the checkpoint captures the ENTIRE
+    training state."""
+    from vqatpu.train.checkpoints import restore_train_state, save_checkpoint
+
+    n_total, split, update_freq = 8, 4, 2
+    model_j, state, model_t = _make_pair(ref, "cti", use_counter=False)
+    state0_host = jax.tree.map(np.asarray, state)  # the step donates state
+
+    def place():
+        return jax.tree.map(jnp.asarray, state0_host)
+
+    per_epoch = _make_batches(seed=17, n_epochs=n_total)
+    args = _args("cti", update_freq=update_freq)
+
+    # --- reference: phase 1 with an externally held Adamax, then save the
+    # real checkpoint file
+    optim1 = torch.optim.Adamax(
+        filter(lambda p: p.requires_grad, model_t.parameters()), lr=args.lr)
+    ref_l1, ref_n1, _, _, _ = _run_reference(
+        ref, args, model_t, per_epoch[:split], split, str(tmp_path / "r1"),
+        opt=optim1)
+    ckpt = str(tmp_path / "model_epoch3.pth")
+    ref.utils.save_model(ckpt, model_t, split - 1, optim1)
+
+    # --- reference: resume exactly as FFOE/main.py:121-128
+    model_data = torch.load(ckpt)
+    model_t2 = ref.base.build_cti(args, _dataset_stub())
+    _zero_dropout(model_t2)
+    model_t2.load_state_dict(model_data.get("model_state", model_data))
+    for name, param in model_t2.named_parameters():
+        if name.startswith(_DEAD_PREFIXES):
+            param.requires_grad = False
+    optim2 = torch.optim.Adamax(
+        filter(lambda p: p.requires_grad, model_t2.parameters()))
+    optim2.load_state_dict(model_data.get("optimizer_state", model_data))
+    s_epoch = model_data["epoch"] + 1
+    assert s_epoch == split
+    ref_l2, ref_n2, _, _, _ = _run_reference(
+        ref, args, model_t2, per_epoch[split:], n_total,
+        str(tmp_path / "r2"), opt=optim2, s_epoch=s_epoch)
+
+    # --- vqatpu: phase 1, checkpoint round trip into a DIFFERENT-init
+    # state (restore must overwrite every leaf), resume with start_epoch
+    state1, j_l1, j_n1, _ = _run_vqatpu(
+        model_j, place(), per_epoch[:split], split, False, update_freq)
+    jpath = str(tmp_path / "vqatpu.ckpt")
+    save_checkpoint(jpath, state1, split - 1)
+    fresh = make_train_state(model_j, jax.random.PRNGKey(9))
+    restored, start_epoch = restore_train_state(jpath, fresh)
+    assert start_epoch == split  # saved epoch + 1, like main.py:128
+    state2, j_l2, j_n2, _ = _run_vqatpu(
+        model_j, restored, per_epoch[split:], n_total, False, update_freq,
+        start_epoch=start_epoch)
+
+    np.testing.assert_allclose(j_l1 + j_l2, ref_l1 + ref_l2, rtol=1e-4,
+                               atol=1e-5, err_msg="resumed loss diverged")
+    np.testing.assert_allclose(j_n1 + j_n2, ref_n1 + ref_n2, rtol=1e-3,
+                               atol=1e-5, err_msg="resumed grad norm diverged")
+
+    got = export_state_dict(model_j, state2.params)
+    want = model_t2.state_dict()
+    live = {k for k in want if not k.startswith(_DEAD_PREFIXES)}
+    assert set(got) == live
+    for k in sorted(got):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].detach().numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f"resumed param {k} diverged")
+
+    # --- control: split+resume == straight 8 epochs (same process, same
+    # compiled program, f32 round trip — any delta is checkpoint loss)
+    state_s, j_ls, _, _ = _run_vqatpu(
+        model_j, place(), per_epoch, n_total, False, update_freq)
+    np.testing.assert_allclose(j_l1 + j_l2, j_ls, rtol=0, atol=1e-6,
+                               err_msg="resume is not transparent")
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=1e-6,
+                                   err_msg="resumed params != straight run")
