@@ -24,7 +24,6 @@ Run: ``make runbook-smoke`` (or ``python scripts/runbook_smoke.py``).
 
 from __future__ import annotations
 
-import base64
 import glob as globmod
 import json
 import os
@@ -95,8 +94,22 @@ def run_cli(work: str, module: str, argv, tag: str, timeout: int = 900):
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")] if p)
     t0 = time.time()
-    proc = subprocess.run([sys.executable, "-c", code], cwd=work, env=env,
-                          capture_output=True, text=True, timeout=timeout)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], cwd=work, env=env,
+                              capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        # the smoke's whole point is loud, attributable failure: label the
+        # stage and show the child's partial output instead of a raw
+        # traceback (TimeoutExpired carries what was captured so far)
+        print(f"[{tag}] FAIL timeout>{timeout}s: "
+              f"python -m {module} {' '.join(argv)}", flush=True)
+        for stream in (e.stdout, e.stderr):
+            if stream:
+                text = (stream.decode(errors="replace")
+                        if isinstance(stream, bytes) else stream)
+                print(text[-3000:])
+        raise SystemExit(f"runbook command timed out after {timeout}s: "
+                         f"python -m {module} {' '.join(argv)}") from None
     status = "OK" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
     print(f"[{tag}] {status} ({time.time() - t0:.0f}s): "
           f"python -m {module} {' '.join(argv)}", flush=True)
@@ -142,17 +155,12 @@ def build_raw_inputs(work: str):
         for w in words:
             vec = " ".join(f"{x:.4f}" for x in rng.randn(300) * 0.1)
             f.write(f"{w} {vec}\n")
-    # bottom-up-attention TSV (2048-d features, the converter's default)
-    rows = []
-    for img_id, n in ((10, 5), (11, 7)):
-        boxes = (rng.rand(n, 4) * 100).astype(np.float32)
-        feats = rng.randn(n, 2048).astype(np.float32)
-        rows.append("\t".join([
-            str(img_id), "640", "480", str(n),
-            base64.b64encode(boxes.tobytes()).decode(),
-            base64.b64encode(feats.tobytes()).decode()]))
-    with open(os.path.join(work, "trainval.tsv"), "w") as f:
-        f.write("\n".join(rows) + "\n")
+    # bottom-up-attention TSV (2048-d features, the converter's default);
+    # shared encoder with tests/test_tools.py (vqatpu.data.synthetic)
+    from vqatpu.data.synthetic import write_bottomup_tsv
+
+    write_bottomup_tsv(os.path.join(work, "trainval.tsv"),
+                       [(10, 5), (11, 7)], v_dim=2048)
 
 
 def build_tdiuc_eval_inputs(work: str):
@@ -240,7 +248,10 @@ def main():
     build_raw_inputs(work)
     build_tdiuc_eval_inputs(work)
 
+    executed: set = set()  # staged keys actually run (completeness check)
+
     def run_all(key, extra, tag=None, timeout=900):
+        executed.add(key)
         for module, argv in staged[key]:
             run_cli(work, module, argv + extra, tag or key, timeout)
 
@@ -323,6 +334,7 @@ def main():
              "--input", "saved_models/TDIUC/cti", "--results",
              "results_tdiuc"])
     must_exist(work, "results_tdiuc/val_ctic32_epoch9.json")
+    executed.add("evaluate_tdiuc")
     for module, argv in staged["evaluate_tdiuc"]:
         out = run_cli(work, module,
                       argv + ["--gt_ann", "data_TDIUC/val_annotations.json",
@@ -337,6 +349,7 @@ def main():
                          "--output", "saved_models/V7W/cti"])
     must_exist(work, "saved_models/V7W/cti/model_epoch0.ckpt")
     out_acc = None
+    executed.add("mc_test")
     for module, argv in staged["mc_test"]:
         out_acc = run_cli(work, module,
                           argv + [*SMALL, "--dataroot", "data_v7w",
@@ -358,6 +371,15 @@ def main():
              "--split", "val", "--results", "results_vqa",
              "--name", "smoke_ensemble"])
     must_exist(work, "results_vqa/val_*smoke_ensemble*.json")
+
+    # completeness, the other direction: every staged README command must
+    # have been EXECUTED — a new doc command classify() happens to accept
+    # (an unforeseen tools.* module, a third ensemble member index) would
+    # otherwise be staged, skipped, and reported as OK
+    skipped = set(staged) - executed
+    assert not skipped, (
+        f"README commands staged but never executed: {sorted(skipped)} — "
+        "teach main() to run them (and add them to REQUIRED_STAGES)")
 
     shutil.rmtree(work, ignore_errors=True)
     print("RUNBOOK SMOKE OK — every README vqatpu command executed "

@@ -333,6 +333,12 @@ def _run_vqatpu(model_j, state, per_epoch, num_epochs, distillation,
 
     from vqatpu.ops import Ctx, MaskSource
 
+    # keep num_epochs load-bearing: the loop runs len(per_epoch) epochs
+    # starting at start_epoch, so a caller slicing per_epoch for a resume
+    # leg must pass the TOTAL schedule length it is resuming into
+    assert start_epoch + len(per_epoch) == num_epochs, \
+        (start_epoch, len(per_epoch), num_epochs)
+
     tcfg = TrainConfig(update_freq=update_freq,
                        deterministic=(mask_lists is None),
                        distillation=distillation, T=2.0, alpha=0.3,
@@ -596,6 +602,21 @@ def test_inloop_eval_and_best_checkpoint_match_reference(ref, tmp_path,
     assert ref_best, "reference never selected a best checkpoint"
     assert ref_best == j_best, (
         "model_epoch_best selection diverged", ref_best, j_best)
+    # tie-margin guard: best selection hinges on strict `>` comparisons
+    # against the running best (FFOE/train.py:112), while the scores only
+    # agree cross-framework to ~1e-5 — assert every comparison this fixture
+    # actually makes is either an EXACT tie (identical argmax picks repeat
+    # an earlier epoch's score bitwise within each framework, so `>` is
+    # False on both sides) or decided by a margin far above that drift, so
+    # the equality assert above cannot flip on float-accumulation noise
+    running = 0.0
+    for e, (s, _) in enumerate(ref_evals):
+        if e >= tcfg.saving_epoch:
+            margin = abs(s - running)
+            assert margin == 0.0 or margin > 1e-4, (
+                "near-tie best comparison (0 < margin <= 1e-4) at epoch", e,
+                s, running, "— reseed the eval fixture")
+            running = max(running, s)
 
     # final params after 12 epochs of the composed loops
     got = export_state_dict(model_j, state.params)

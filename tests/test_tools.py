@@ -1,7 +1,6 @@
 """Preprocessing tools: VQA answer normalization, soft scores, dictionary,
 feature conversion, answer embeddings."""
 
-import base64
 import json
 import os
 import pickle
@@ -111,19 +110,10 @@ def test_feature_converter_roundtrip(tmp_path):
     from vqatpu.data.features import FeatureStore
     from vqatpu.tools.feature_converter import convert_adaptive, spatial_features
 
-    rng = np.random.RandomState(0)
-    rows = []
-    for img_id, n in ((10, 12), (11, 15)):
-        boxes = (rng.rand(n, 4) * 100).astype(np.float32)
-        feats = rng.randn(n, 8).astype(np.float32)
-        rows.append("\t".join([
-            str(img_id), "640", "480", str(n),
-            base64.b64encode(boxes.tobytes()).decode(),
-            base64.b64encode(feats.tobytes()).decode(),
-        ]))
+    from vqatpu.data.synthetic import write_bottomup_tsv
+
     tsv = str(tmp_path / "feat.tsv")
-    with open(tsv, "w") as f:
-        f.write("\n".join(rows) + "\n")
+    write_bottomup_tsv(tsv, [(10, 12), (11, 15)], v_dim=8)
 
     import vqatpu.tools.feature_converter as fc
     old = fc.FEATURE_LENGTH

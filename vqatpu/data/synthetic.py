@@ -25,6 +25,29 @@ ANSWERS = ["red", "blue", "green", "two", "three", "cat", "dog", "yes", "no",
            "on table", "left", "right"]
 
 
+def write_bottomup_tsv(path: str, image_boxes, v_dim: int = 2048,
+                       seed: int = 0) -> None:
+    """Write a bottom-up-attention TSV in the feature converter's input
+    format (``tools/adaptive_detection_features_converter.py:31``
+    FIELDNAMES): one row per ``(image_id, num_boxes)`` pair with base64
+    float32 boxes/features.  Shared by the tools tests and the README
+    runbook smoke so the fixture encoding can't drift from the converter's
+    expectations in one place only."""
+    import base64
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for img_id, n in image_boxes:
+        boxes = (rng.rand(n, 4) * 100).astype(np.float32)
+        feats = rng.randn(n, v_dim).astype(np.float32)
+        rows.append("\t".join([
+            str(img_id), "640", "480", str(n),
+            base64.b64encode(boxes.tobytes()).decode(),
+            base64.b64encode(feats.tobytes()).decode()]))
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
 def _questions(rng: np.random.RandomState, n: int):
     qs = []
     for i in range(n):
