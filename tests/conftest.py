@@ -6,9 +6,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call" not in flags:
+    # XLA CPU in-process collectives abort the WHOLE process (exit()) when a
+    # rendezvous participant is starved past a hard 40 s default — on this
+    # 1-core host plain scheduler load can do that to the 8-virtual-device
+    # mesh tests and kill the pytest run (the same abort that redded the r4
+    # driver artifact, see __graft_entry__.dryrun_multichip).  Raise it so a
+    # starved device thread just runs late.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60")
+os.environ["XLA_FLAGS"] = flags
 # f64 off (default), but make torch comparisons deterministic
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 # Hermetic tests: CLI entry points default --compilation_cache_dir to
