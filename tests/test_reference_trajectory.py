@@ -947,7 +947,7 @@ def test_resume_trajectory_matches_reference(ref, tmp_path):
     jpath = str(tmp_path / "vqatpu.ckpt")
     save_checkpoint(jpath, state1, split - 1)
     fresh = make_train_state(model_j, jax.random.PRNGKey(9))
-    restored, start_epoch = restore_train_state(jpath, fresh)
+    restored, start_epoch, _ = restore_train_state(jpath, fresh)
     assert start_epoch == split  # saved epoch + 1, like main.py:128
     state2, j_l2, j_n2, _ = _run_vqatpu(
         model_j, restored, per_epoch[split:], n_total, False, update_freq,

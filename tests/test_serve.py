@@ -316,3 +316,51 @@ def test_by_id_unknown_image_raises(tmp_path, rng):
     q = rng.randint(0, NTOKEN + 1, (1, 12))
     with pytest.raises(KeyError, match="unknown image_id"):
         sess.logits_by_id([999999], q)
+
+
+def test_empty_and_oversized_requests(tmp_path, rng):
+    """Degenerate request shapes: an EMPTY batch returns [0, num_ans]
+    without dispatching, and boxes beyond max_boxes truncate on the direct
+    path exactly like the MicroBatcher's pad_boxes does (the two entry
+    points must agree)."""
+    sess = make_session(tmp_path)  # max_boxes=10
+    v, b, q, a = reqs(rng, 3)
+    out = sess.logits(v[:0], b[:0], q[:0], a[:0])
+    assert out.shape == (0, NUM_ANS) and out.dtype == np.float32
+
+    extra_v = rng.randn(3, 8, V_DIM).astype(np.float32)
+    extra_b = rng.rand(3, 8, 6).astype(np.float32)
+    v_big = np.concatenate([v, extra_v], 1)  # 14 boxes > max_boxes=10
+    b_big = np.concatenate([b, extra_b], 1)
+    got = sess.logits(v_big, b_big, q, a)
+    want = sess.logits(v_big[:, :10], b_big[:, :10], q, a)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_micro_batcher_survives_malformed_requests(tmp_path, rng):
+    """A request that breaks GROUP ASSEMBLY itself (1-D q crashes
+    _group_key before any predict) must fail only its own caller — the
+    worker thread stays alive and keeps serving (a dead worker would park
+    every later caller on done.wait() forever)."""
+    import threading
+
+    from vqatpu.serve import MicroBatcher
+
+    sess = make_session(tmp_path)
+    mb = MicroBatcher(sess, max_batch=8, max_wait_ms=20.0)
+    try:
+        v, b, q, a = reqs(rng, 2)
+        done = threading.Event()
+        slot: dict = {}
+        # bypass mb.logits so a regression shows as a failed wait, not a
+        # test hang: q[0] is 1-D — _group_key's q.shape[1] raises
+        mb._q.put((v[:1], b[:1], q[0], a[:1], done, slot))
+        assert done.wait(timeout=60), \
+            "worker died without failing the malformed caller"
+        assert "err" in slot
+        assert mb._thread.is_alive()
+        # the worker keeps serving valid traffic after the failure
+        out = mb.logits(v, b, q, a)
+        np.testing.assert_allclose(out, sess.logits(v, b, q, a), atol=1e-5)
+    finally:
+        mb.close()

@@ -1,6 +1,8 @@
 """Training engine: Adamax parity vs torch, clip, LR schedule, jitted
 train step with gradient accumulation, data-parallel sharding, checkpoints."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -220,7 +222,7 @@ def test_eval_step_and_checkpoint_roundtrip(rng, tmp_path):
     path = str(tmp_path / "model_epoch0.ckpt")
     save_checkpoint(path, state, epoch=0)
     fresh = make_train_state(m, jax.random.PRNGKey(42))
-    restored, start_epoch = restore_train_state(path, fresh)
+    restored, start_epoch, _ = restore_train_state(path, fresh)
     assert start_epoch == 1
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -529,7 +531,7 @@ def test_restore_premasked_checkpoint(tmp_path, rng):
     path = str(tmp_path / "model_epoch3.ckpt")
     save_checkpoint(path, old_state, epoch=3)
 
-    restored, start = restore_train_state(path, state)
+    restored, start, _ = restore_train_state(path, state)
     assert start == 4
     # structure matches the masked template and a step runs
     assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
@@ -653,3 +655,97 @@ def test_evaluate_sweep_int8_wire(tmp_path):
                            transfer_dtype="int8")
     np.testing.assert_array_equal(qids, qids8)
     np.testing.assert_allclose(l8, l32, atol=5e-2, rtol=5e-2)
+
+
+def test_oom_skip_on_flush_batch_resets_accumulation(tmp_path, monkeypatch):
+    """If a batch OOM-skips while microbatches are buffered (worst case:
+    the epoch's forced-flush LAST batch), the window must be dropped — the
+    reference's recovery zero-grads (``FFOE/trainer.py:206-219``) — so
+    device accumulation never straddles epochs and the host-side cadence
+    stays in sync with the device counter."""
+    import vqatpu.train.loop as loop_mod
+    from tests.test_end_to_end import small_cfg
+    from vqatpu.data import VQAFeatureDataset
+    from vqatpu.data.synthetic import make_vqa_fixture
+
+    root = str(tmp_path / "d")
+    d = make_vqa_fixture(root, n_train=32, n_val=8, n_images=6, v_dim=16)
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    m = build_model(small_cfg(ds, "ban"))
+    # 32 samples / batch 8 = 4 batches; update_freq 2 -> update at i=1,
+    # batch i=2 buffers, and the i=3 forced flush is the step we OOM —
+    # without the reset, i=2's gradient would be stranded in grad_accum
+    cfg = TrainConfig(epochs=1, batch_size=8, update_freq=2, saving_epoch=99)
+
+    real_make = loop_mod.make_train_step
+    calls = {"n": 0}
+
+    def wrapped_make(*a, **kw):
+        step = real_make(*a, **kw)
+
+        def stepper(state, db, lr, key, force=False):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED (injected)")
+            return step(state, db, lr, key, force)
+
+        return stepper
+
+    monkeypatch.setattr(loop_mod, "make_train_step", wrapped_make)
+    state = loop_mod.train(m, ds, None, cfg, str(tmp_path / "o"),
+                           use_mesh=False)
+    assert calls["n"] == 4
+    assert int(np.asarray(state.step)) == 1  # only the i=1 update applied
+    assert int(np.asarray(state.accum_count)) == 0
+    assert all(not np.any(np.asarray(g))
+               for g in jax.tree.leaves(state.grad_accum)), \
+        "OOM-skipped window left gradients buffered across the epoch"
+
+
+def test_resume_does_not_clobber_better_best_checkpoint(tmp_path,
+                                                        monkeypatch):
+    """``best_eval`` rides the checkpoint extra: a resumed run whose eval
+    scores are WORSE than the pre-crash best must not overwrite
+    ``model_epoch_best`` (divergence-fix vs the reference's
+    ``best_eval_score = 0`` reset on every ``train()`` call,
+    ``FFOE/train.py:41``)."""
+    import vqatpu.train.loop as loop_mod
+    from tests.test_end_to_end import small_cfg
+    from vqatpu.data import VQAFeatureDataset
+    from vqatpu.data.synthetic import make_vqa_fixture
+
+    root = str(tmp_path / "d")
+    d = make_vqa_fixture(root, n_train=16, n_val=8, n_images=6, v_dim=16)
+    ds = VQAFeatureDataset("train", d, dataroot=root, max_boxes=12)
+    ev = VQAFeatureDataset("val", d, dataroot=root, max_boxes=12)
+    m = build_model(small_cfg(ds, "ban"))
+    out = str(tmp_path / "o")
+
+    cfg1 = TrainConfig(epochs=1, batch_size=8, update_freq=1, saving_epoch=0)
+    monkeypatch.setattr(loop_mod, "evaluate_ffoe",
+                        lambda *a, **kw: (0.9, 1.0))
+    state = loop_mod.train(m, ds, ev, cfg1, out, use_mesh=False)
+
+    # resume from the real checkpoint: extra carries the best score
+    fresh = make_train_state(m, jax.random.PRNGKey(7))
+    restored, start_epoch, extra = restore_train_state(
+        os.path.join(out, "model_epoch0.ckpt"), fresh)
+    assert start_epoch == 1
+    assert extra["best_eval"] == 0.9
+
+    # resumed epoch scores WORSE: best must not be overwritten
+    monkeypatch.setattr(loop_mod, "evaluate_ffoe",
+                        lambda *a, **kw: (0.5, 1.0))
+    saves = []
+    monkeypatch.setattr(
+        loop_mod, "_save_ckpt",
+        lambda output, name, st, epoch, backend, extra=None:
+            saves.append((name, extra)))
+    cfg2 = TrainConfig(epochs=2, batch_size=8, update_freq=1, saving_epoch=0)
+    loop_mod.train(m, ds, ev, cfg2, out, state=restored,
+                   start_epoch=start_epoch, best_eval=extra["best_eval"],
+                   use_mesh=False)
+    names = [n for n, _ in saves]
+    assert names == ["model_epoch1"], names  # no model_epoch_best clobber
+    assert saves[0][1]["best_eval"] == 0.9  # the pre-crash best rides on

@@ -83,9 +83,10 @@ def main(argv=None):
                                             dictionary, names=names, target=target)
         state = state._replace(params=params)
 
-    start_epoch = 0
+    start_epoch, best_eval = 0, 0.0
     if args.input is not None:
-        state, start_epoch = restore_train_state(args.input, state)
+        state, start_epoch, ck_extra = restore_train_state(args.input, state)
+        best_eval = float(ck_extra.get("best_eval", 0.0))
 
     if args.use_both:
         parts = [train_dset, val_dset]
@@ -105,7 +106,7 @@ def main(argv=None):
         train_ds, eval_ds = train_dset, val_dset
 
     train(model, train_ds, eval_ds, tcfg, args.output,
-          state=state, start_epoch=start_epoch,
+          state=state, start_epoch=start_epoch, best_eval=best_eval,
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
           print_interval=args.print_interval,
           use_native_loader=args.native_loader,

@@ -67,12 +67,13 @@ def main(argv=None):
                                             target=("v7w",))
         state = state._replace(params=params)
 
-    start_epoch = 0
+    start_epoch, best_eval = 0, 0.0
     if args.input is not None:
-        state, start_epoch = restore_train_state(args.input, state)
+        state, start_epoch, ck_extra = restore_train_state(args.input, state)
+        best_eval = float(ck_extra.get("best_eval", 0.0))
 
     train(model, train_dset, val_dset, tcfg, args.output, task="mc",
-          state=state, start_epoch=start_epoch,
+          state=state, start_epoch=start_epoch, best_eval=best_eval,
           tfidf_loaded=bool(args.tfidf), use_mesh=not args.no_mesh,
           print_interval=args.print_interval,
           use_native_loader=args.native_loader,

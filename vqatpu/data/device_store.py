@@ -302,10 +302,13 @@ class DeviceFeatureStore:
                 + [np.ones((1,), np.float32)], 0)
         else:
             wire = _WIRE_NP[transfer_dtype]
+            # copy=False: under the default f32 wire this table is the
+            # multi-GB concat result itself — a copying astype would
+            # transiently double host RAM for a no-op cast
             flat_f = np.concatenate(
                 [np.asarray(f, np.float32) for f in parts_f]
                 + [np.zeros((1, parts_f[0].shape[1]), np.float32)],
-                0).astype(wire)
+                0).astype(wire, copy=False)
             scales = None
         # b's wire dtype follows transfer_dtype alone (wire_cast ships b
         # f16 under int8, untouched under f32 — even when the RESIDENT v
@@ -315,7 +318,7 @@ class DeviceFeatureStore:
         flat_sp = np.concatenate(
             [np.asarray(sp, np.float32) for sp in parts_sp]
             + [np.zeros((1, parts_sp[0].shape[1]), np.float32)],
-            0).astype(spat_dtype)
+            0).astype(spat_dtype, copy=False)
         sentinel = flat_f.shape[0] - 1
 
         # per-image row tables: one block per unique store, global offsets

@@ -21,19 +21,33 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvqadata.so")
 
 _lib = None
+_lib_failed = False  # cache build/load failure: callers hit this per batch
+# (steps.wire_cast -> quantize_rows_any on the int8 wire), and re-spawning
+# a failing `make` subprocess every batch would silently cost ~100 ms each
 
 
 def _load_library():
-    global _lib
+    global _lib, _lib_failed
     if _lib is not None:
         return _lib
+    if _lib_failed:
+        return None
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            _lib_failed = True
+            print(f"vqatpu native runtime unavailable (build failed: {e!r});"
+                  " falling back to numpy paths", flush=True)
             return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        _lib_failed = True
+        print(f"vqatpu native runtime unavailable (load failed: {e!r});"
+              " falling back to numpy paths", flush=True)
+        return None
     lib.vqadata_store_create.restype = ctypes.c_void_p
     lib.vqadata_store_create.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

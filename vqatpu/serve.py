@@ -120,41 +120,26 @@ class ResidentFeatures:
         table of flat row indices (padded with ``sentinel = T``, a zero
         row).  The jitted predict receives ``rows_table[image_index]`` and
         does ``feats[rows]`` on device."""
+        from vqatpu.data.device_store import (store_flat_arrays,
+                                              store_rows_table)
         from vqatpu.data.features import _quantize_rows
 
-        s = self.store
-        if s.adaptive:
-            flat_f, flat_sp = np.asarray(s.features), np.asarray(s.spatials)
-            scales = s.feat_scales
-        else:
-            f = np.asarray(s.features)
-            flat_f = f.reshape(-1, f.shape[-1])
-            flat_sp = np.asarray(s.spatials).reshape(-1, s.s_dim)
-            scales = (None if s.feat_scales is None
-                      else np.asarray(s.feat_scales).reshape(-1))
+        # same flatten + row-table semantics as the training device store
+        # (one shared implementation, so a box-selection or scale-layout
+        # change can never diverge serving gathers from training gathers)
+        flat_f, scales, flat_sp = store_flat_arrays(self.store)
         if quantize and scales is None:
             flat_f, scales = _quantize_rows(flat_f)
         T = flat_f.shape[0]
-        pad_dtype = flat_f.dtype
         feats = np.concatenate(
-            [flat_f, np.zeros((1, flat_f.shape[1]), pad_dtype)], 0)
+            [flat_f, np.zeros((1, flat_f.shape[1]), flat_f.dtype)], 0)
         spats = np.concatenate(
             [flat_sp, np.zeros((1, flat_sp.shape[1]), flat_sp.dtype)], 0)
         if scales is not None:
             scales = np.concatenate(
                 [np.asarray(scales, np.float32), np.ones((1,), np.float32)])
-        if s.adaptive:
-            n_images = s.pos_boxes.shape[0]
-            rows_table = np.full((n_images, self.max_boxes), T, np.int32)
-            for i, (lo, hi) in enumerate(np.asarray(s.pos_boxes)):
-                c = min(int(hi) - int(lo), self.max_boxes)
-                rows_table[i, :c] = np.arange(int(lo), int(lo) + c)
-        else:
-            n_images, k = np.asarray(s.features).shape[:2]
-            c = min(k, self.max_boxes)
-            rows_table = np.full((n_images, self.max_boxes), T, np.int32)
-            rows_table[:, :c] = (np.arange(n_images)[:, None] * k
-                                 + np.arange(c)[None, :])
+        rows_table = store_rows_table(self.store, self.max_boxes,
+                                      row_offset=0, sentinel=T)
         return feats, scales, spats, rows_table, T
 
 
@@ -242,6 +227,8 @@ class InferenceSession:
         compute + readback instead of serializing after it.
         """
         n = v.shape[0]
+        if n == 0:  # empty request batch: nothing to dispatch
+            return np.zeros((0, self.model.cfg.num_classes), np.float32)
         out = []
         largest = self.batch_buckets[-1]
         pending = None  # (rows, device logits) of the previous chunk
@@ -260,6 +247,10 @@ class InferenceSession:
     def _dispatch_chunk(self, v, b, q, a):
         """Enqueue one chunk's transfer + predict; returns the (not yet
         read back) device logits and the real row count."""
+        if v.shape[1] > self.max_boxes:  # same contract as MicroBatcher's
+            v = v[:, :self.max_boxes]    # pad_boxes: truncate extra boxes
+            if b is not None:
+                b = b[:, :self.max_boxes]
         n = v.shape[0]
         bucket = self._bucket_for(n)
 
@@ -369,6 +360,8 @@ class InferenceSession:
         :meth:`attach_features`.  Chunked and software-pipelined like
         :meth:`logits`."""
         assert self.features is not None, "call attach_features() first"
+        if len(image_ids) == 0:  # empty request batch
+            return np.zeros((0, self.model.cfg.num_classes), np.float32)
         if self._placement == "host":
             v, b = self.features.gather(image_ids)
             return self.logits(v, b, q, a)
@@ -576,16 +569,19 @@ class MicroBatcher:
                            + x.shape[2:], x.dtype)
             return np.concatenate([x, pad], 1)
 
-        counts = [it[0].shape[0] for it in items]
-        V = np.concatenate([pad_boxes(it[0]) for it in items], 0)
-        b0 = items[0][1]
-        B = (None if b0 is None else np.concatenate(
-            [pad_boxes(np.asarray(it[1], np.float32)) for it in items], 0))
-        Q = np.concatenate([np.asarray(it[2], np.int32) for it in items], 0)
-        a0 = items[0][3]
-        A = (None if a0 is None else np.concatenate(
-            [np.asarray(it[3], np.int32) for it in items], 0))
+        # assembly is INSIDE the try: a malformed request (mismatched
+        # spatial dims, 1-D q, ragged candidate counts) must fail its
+        # waiting callers, not escape and kill the worker thread
         try:
+            counts = [it[0].shape[0] for it in items]
+            V = np.concatenate([pad_boxes(it[0]) for it in items], 0)
+            b0 = items[0][1]
+            B = (None if b0 is None else np.concatenate(
+                [pad_boxes(np.asarray(it[1], np.float32)) for it in items], 0))
+            Q = np.concatenate([np.asarray(it[2], np.int32) for it in items], 0)
+            a0 = items[0][3]
+            A = (None if a0 is None else np.concatenate(
+                [np.asarray(it[3], np.int32) for it in items], 0))
             out = sess.logits(V, B, Q, A)
             self.batches_run += 1
             self.rows_served += sum(counts)
@@ -611,6 +607,19 @@ class MicroBatcher:
             # one predict per compatibility group (normally one group)
             groups: dict = {}
             for it in items:
-                groups.setdefault(self._group_key(*it[:4]), []).append(it)
+                try:
+                    key = self._group_key(*it[:4])
+                except Exception as e:  # malformed request: fail ONLY its
+                    it[5]["err"] = e    # caller; keep serving the rest
+                    it[4].set()
+                    continue
+                groups.setdefault(key, []).append(it)
             for group in groups.values():
-                self._run_group(group)
+                try:
+                    self._run_group(group)
+                except BaseException as e:  # last-resort guard: the worker
+                    # thread must NEVER die — parked callers would block
+                    # forever on done.wait() with no one to wake them
+                    for _v, _b, _q, _a, done, slot in group:
+                        slot.setdefault("err", e)
+                        done.set()

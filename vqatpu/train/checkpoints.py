@@ -115,10 +115,14 @@ def _merge_opt_state(payload_node, template_node):
     return jax.numpy.asarray(payload_node)
 
 
-def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
+def restore_train_state(path: str, state: TrainState
+                        ) -> tuple[TrainState, int, dict]:
     """Load params/opt_state into an existing (freshly-built) state, returning
-    (state, start_epoch).  Structure must match the current model; opt_state
-    tolerates the pre-masked-Adamax layout (see :func:`_merge_opt_state`)."""
+    (state, start_epoch, extra) — ``extra`` is the checkpoint's metadata dict
+    ({} for old checkpoints), carrying e.g. ``best_eval`` so a resumed run
+    cannot clobber a better existing best checkpoint (train/loop.py).
+    Structure must match the current model; opt_state tolerates the
+    pre-masked-Adamax layout (see :func:`_merge_opt_state`)."""
     payload = load_checkpoint(path)
     saved_model = (payload.get("extra") or {}).get("model")
 
@@ -161,7 +165,7 @@ def restore_train_state(path: str, state: TrainState) -> tuple[TrainState, int]:
         accum_count=jax.numpy.zeros([], jax.numpy.int32),
         step=jax.numpy.asarray(payload.get("step", 0), jax.numpy.int32),
     )
-    return new_state, payload["epoch"] + 1
+    return new_state, payload["epoch"] + 1, (payload.get("extra") or {})
 
 
 def save_checkpoint_orbax(path: str, state: TrainState, epoch: int) -> None:

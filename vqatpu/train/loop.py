@@ -96,10 +96,10 @@ def _make_eval_device_store(eval_ds, cfg: TrainConfig, task: str,
                             multiproc: bool, mesh, logger):
     """Device store for the in-loop epoch eval.  One extra gate vs the
     train store: on a mesh the store's gather output is ALWAYS
-    P(data)-sharded, so the (2x) eval batch must divide the data axis."""
-    store = _make_device_store(eval_ds, cfg, task, multiproc, mesh, logger,
-                               what="eval ")
-    if store is not None and mesh is not None:
+    P(data)-sharded, so the (2x) eval batch must divide the data axis.
+    Checked BEFORE the build — declining after DeviceFeatureStore.build
+    would first upload the whole eval table to HBM just to discard it."""
+    if mesh is not None:
         from vqatpu.parallel import DATA_AXIS
 
         dp = int(mesh.shape.get(DATA_AXIS, 1))
@@ -108,7 +108,8 @@ def _make_eval_device_store(eval_ds, cfg: TrainConfig, task: str,
                          "divisible by the data mesh %d); using host wire"
                          % (cfg.batch_size * 2, dp))
             return None
-    return store
+    return _make_device_store(eval_ds, cfg, task, multiproc, mesh, logger,
+                              what="eval ")
 
 
 def _make_device_store(dataset, cfg: TrainConfig, task: str, multiproc: bool,
@@ -207,8 +208,16 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
           use_native_loader: bool = True,
           profile_dir: Optional[str] = None,
           num_devices: Optional[int] = None,
-          tp: int = 1) -> TrainState:
+          tp: int = 1, best_eval: float = 0.0) -> TrainState:
     """Run the full training schedule; returns the final state.
+
+    ``best_eval``: the best eval score seen so far — pass the value
+    recorded in the checkpoint being resumed (the CLIs do) so a resumed
+    run cannot overwrite a better existing ``model_epoch_best``.  The
+    reference resets its local ``best_eval_score = 0`` on every
+    ``train()`` call (``FFOE/train.py:41``), silently clobbering the best
+    checkpoint on resume — a deliberate divergence-fix, default-compatible
+    (0.0 == reference behavior when no value is known).
 
     Multi-process (one process per pod host): call
     ``parallel.distributed.init_distributed`` first — when
@@ -288,7 +297,6 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
     eval_dev_store = _UNSET if dev_store is not None else None
     rng = jax.random.PRNGKey(cfg.seed)
 
-    best_eval = 0.0
     wall_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         lr = lr_for_epoch(cfg, epoch)
@@ -305,9 +313,15 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
         num_oom = 0
         # Metrics stay on-device until print/epoch boundaries: a per-step
         # float() would sync the host into every step and stall dispatch.
+        # Per-update scalars accumulate into device-side RUNNING SUMS (3
+        # tiny async adds per update) instead of a per-update list — the
+        # epoch-end reduction is then 3 readbacks total, not 3 x n_updates
+        # sequential round trips over the tunnel.
         # The update cadence is host-deterministic ((i+1) % update_freq), so
         # no device read is needed to know which steps applied an update.
-        update_metrics = []
+        _SUM_KEYS = ("loss", "grad_norm", "batch_score")
+        metric_sums = None
+        num_updates = 0
         print_every = max(1, print_interval // cfg.update_freq)
         n_batches = len(loader)
         micro_count = 0  # mirrors the device-side accumulation counter
@@ -347,6 +361,18 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                     raise
                 num_oom += 1
                 logger.write(f"| WARNING: out of memory, skipping batch {i}")
+                if cfg.update_freq > 1:
+                    # the reference's recovery zero-grads (trainer.py:217),
+                    # dropping any buffered microbatches — mirror it so the
+                    # device accumulation window and host micro_count stay
+                    # in sync (critically: when the epoch's forced
+                    # last-batch flush is the step that failed, buffered
+                    # grads must not straddle into the next epoch)
+                    state = state._replace(
+                        grad_accum=jax.tree.map(jnp.zeros_like,
+                                                state.grad_accum),
+                        accum_count=jnp.zeros_like(state.accum_count))
+                    micro_count = 0
                 continue
             # profile a few steady-state steps of the first epoch
             # (jax.profiler, TensorBoard-loadable — the observability upgrade
@@ -360,13 +386,16 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             micro_count += 1
             did_update = force or micro_count >= cfg.update_freq
             if did_update:
-                update_metrics.append(metrics)
+                num_updates += 1
                 micro_count = 0
-            num_updates = len(update_metrics)
+                if metric_sums is None:
+                    metric_sums = {k: metrics[k] for k in _SUM_KEYS}
+                else:  # async device-side scalar adds, no host sync
+                    metric_sums = {k: metric_sums[k] + metrics[k]
+                                   for k in _SUM_KEYS}
             if (primary and did_update and num_updates
                     and num_updates % print_every == 0):
-                running = float(sum(jnp.asarray(m["loss"])
-                                    for m in update_metrics))
+                running = float(np.asarray(metric_sums["loss"]))
                 # running / (num_updates + 1) reproduces the reference's own
                 # in-loop print (FFOE/train.py:89-90 divides total_loss by
                 # num_updates + 1); the epoch-end log line below divides by
@@ -374,17 +403,14 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
                 print("Iter: {}, Loss {:.4f}, Norm: {:.4f}, Num updates: {},"
                       " Wall time: {:.2f}, ETA: {}".format(
                           i + 1, running / (num_updates + 1),
-                          float(metrics["grad_norm"]), num_updates,
-                          time.time() - wall_start,
+                          float(np.asarray(metrics["grad_norm"])),
+                          num_updates, time.time() - wall_start,
                           time_since(t0, i / max(len(loader), 1))))
 
-        num_updates = len(update_metrics)
-        if update_metrics:
-            stacked = {k: np.asarray([m[k] for m in update_metrics])
-                       for k in ("loss", "grad_norm", "batch_score")}
-            total_loss = float(stacked["loss"].sum()) / num_updates
-            total_norm = float(stacked["grad_norm"].sum())
-            train_score = float(stacked["batch_score"].sum())
+        if metric_sums is not None:
+            total_loss = float(np.asarray(metric_sums["loss"])) / num_updates
+            total_norm = float(np.asarray(metric_sums["grad_norm"]))
+            train_score = float(np.asarray(metric_sums["batch_score"]))
         else:
             total_loss = total_norm = train_score = 0.0
         count_norm = num_updates
@@ -437,18 +463,22 @@ def train(model, train_ds, eval_ds, cfg: TrainConfig, output: str,
             # writing the global arrays); pickle is process-0-only (state is
             # fully replicated across hosts, so one copy suffices)
             write = cfg.ckpt_backend == "orbax" or primary
+            new_best = eval_ds is not None and eval_score > best_eval
+            if new_best:
+                best_eval = eval_score
             # stamp the model family so restore can name the mismatch on a
-            # wrong-model resume instead of a raw pytree structure error
+            # wrong-model resume instead of a raw pytree structure error;
+            # best_eval rides along so a resume can't clobber a better
+            # existing model_epoch_best (see the train() docstring)
             extra = {"model": getattr(getattr(model, "cfg", None), "model",
-                                      None)}
+                                      None),
+                     "best_eval": best_eval}
             if write:
                 _save_ckpt(output, f"model_epoch{epoch}", state, epoch,
                            cfg.ckpt_backend, extra=extra)
-            if eval_ds is not None and eval_score > best_eval:
-                if write:
-                    _save_ckpt(output, "model_epoch_best", state, epoch,
-                               cfg.ckpt_backend, extra=extra)
-                best_eval = eval_score
+            if new_best and write:
+                _save_ckpt(output, "model_epoch_best", state, epoch,
+                           cfg.ckpt_backend, extra=extra)
     return state
 
 
