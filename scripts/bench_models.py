@@ -38,6 +38,10 @@ CONFIGS = {
     # wins ON-CHIP as well as on the wire (scripts/ab_wire_device.py)
     "cti_256_int8": dict(model="cti", B=256, wire="int8"),
     "cti_1024": dict(model="cti", B=1024),
+    # bf16 compute turns from a wash (B=256, where the step is
+    # layout/medium-op bound) into a −13% win at B=1024, where the tucker
+    # GEMMs dominate and the MXU's bf16 rate shows (scripts/ab_dtype_scale.py)
+    "cti_1024_bf16": dict(model="cti", B=1024, compute_dtype="bfloat16"),
     # MC TanModel at the reference batch 64, x4 candidate expansion
     # (MC/train.py:74-83) => 256 device rows
     "mc_tan_64": dict(model="cti", B=256, task="mc"),
