@@ -43,6 +43,10 @@ CONFIGS = {
     "bf16c": dict(compute_dtype="bfloat16"),
     "bf16o": dict(optim_state_dtype="bfloat16"),
     "bf16co": dict(compute_dtype="bfloat16", optim_state_dtype="bfloat16"),
+    # int8-resident v (wire contract; dequant fused into consumers — the
+    # on-chip win of scripts/ab_wire_device.py) with and without bf16
+    "int8": dict(wire="int8"),
+    "bf16c_int8": dict(compute_dtype="bfloat16", wire="int8"),
 }
 
 
@@ -73,14 +77,23 @@ def main():
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
                       model="cti", num_hid=1024, h_mm=512, rank=32, gamma=2)
     model = build_model(cfg)
-    batch = make_batch(B)  # shared across rigs: wire is f32 for every config
+    # two shared device-resident batches: f32 wire and int8 wire (the step
+    # auto-detects `v_scale` and fuses the dequant into v's consumers)
+    from vqatpu.train.steps import wire_cast
+
+    batch_host = jax.tree.map(np.asarray, make_batch(B))
+    batches = {"float32": jax.tree.map(jnp.asarray, batch_host),
+               "int8": jax.tree.map(jnp.asarray,
+                                    wire_cast(batch_host, "int8"))}
     lr = jnp.float32(1e-3)
     key = jax.random.PRNGKey(1)
 
     rigs = {}
     for name in names:
         t0 = time.perf_counter()
-        tcfg = TrainConfig(update_freq=1, batch_size=B, **CONFIGS[name])
+        spec = dict(CONFIGS[name])
+        batch = batches[spec.pop("wire", "float32")]
+        tcfg = TrainConfig(update_freq=1, batch_size=B, **spec)
         state = make_train_state(model, jax.random.PRNGKey(0),
                                  optim_state_dtype=tcfg.optim_state_dtype)
         step = make_train_step(model, tcfg)
@@ -88,7 +101,7 @@ def main():
             state, metrics = step(state, batch, lr, jax.random.fold_in(key, i))
         float(np.asarray(metrics["loss"]))
         print(f"{name}: warm in {time.perf_counter() - t0:.1f}s", flush=True)
-        rigs[name] = [state, step]
+        rigs[name] = [state, step, batch]
 
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -102,7 +115,7 @@ def main():
     best = {n: float("inf") for n in names}
     for w in range(5):
         for name in names:
-            state, step = rigs[name]
+            state, step, batch = rigs[name]
             t0 = time.perf_counter()
             for i in range(iters):
                 state, metrics = step(state, batch, lr,
