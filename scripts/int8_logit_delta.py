@@ -16,15 +16,18 @@ classes), so the flip rate is an upper bound — trained models separate
 classes by far more than the ~0.2-logit worst-case perturbation.  Real
 accuracy confirmation still needs the real artifacts (NEXT.md item 1).
 
-Trajectory (--traj, 20 BAN steps at reference dims, identical batches and
-dropout keys, optimizer state f32 in both runs): per-step |dloss| stays
-0.01-1.4% of the loss (worst 5.5 absolute on a 321 loss at step 18, no
-compounding blow-up); after 20 updates param max|delta| 7.2e-3, mean
-relative drift 1.0e-3 (≈ lr-scale — one update's worth of noise).
-See PARITY.md "bf16 BAN risk".
+Trajectory (--traj [ban|cti], 20 steps at reference dims, identical
+batches and dropout keys, optimizer state f32 in both runs):
+  ban (r4): per-step |dloss| stays 0.01-1.4% of the loss (worst 5.5
+  absolute on a 321 loss at step 18, no compounding blow-up); after 20
+  updates param max|delta| 7.2e-3, mean relative drift 1.0e-3 (≈ lr-scale
+  — one update's worth of noise).  See PARITY.md "bf16 BAN risk".
+  cti (r5, behind the large-batch bf16 recommendation): per-step |dloss|
+  <= 0.14% of the loss; after 20 updates param max|delta| 5.3e-3, mean
+  relative drift 1.3e-4 — an order tighter than BAN.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site \
-     python scripts/int8_logit_delta.py [--traj]
+     python scripts/int8_logit_delta.py [--traj [ban|cti]]
 """
 import os
 import sys
@@ -86,14 +89,19 @@ def logit_deltas():
                   f"argmax flips {s[2]}/{n}", flush=True)
 
 
-def traj_divergence(steps=20):
-    """f32 vs bf16-compute BAN training at reference dims from identical
-    state/batches: per-step |dloss| and relative param drift."""
+def traj_divergence(steps=20, model_name="ban"):
+    """f32 vs bf16-compute training at reference dims from identical
+    state/batches: per-step |dloss| and relative param drift.  ``ban`` is
+    the r4 risk profile behind the ``ban_256_bf16`` knob; ``cti`` is the
+    r5 one behind the large-batch `--compute_dtype bfloat16` recommendation
+    (B stays 256 here — the bf16 rounding error is per-element, what B=1024
+    changes is only the speed verdict, scripts/ab_dtype_scale.py)."""
     cfg = ModelConfig(ntoken=20000, v_dim=2048, num_ans_candidates=3129,
-                      model="ban", num_hid=1024, h_mm=512, rank=32, gamma=2)
+                      model=model_name, num_hid=1024, h_mm=512, rank=32,
+                      gamma=2)
     m = build_model(cfg)
     runs = {}
-    batches = [make_batch("ban", with_target=True) for _ in range(steps)]
+    batches = [make_batch(model_name, with_target=True) for _ in range(steps)]
     for dtype in ("float32", "bfloat16"):
         tcfg = TrainConfig(batch_size=B, compute_dtype=dtype)
         step = make_train_step(m, tcfg)
@@ -121,6 +129,9 @@ def traj_divergence(steps=20):
 
 if __name__ == "__main__":
     if "--traj" in sys.argv:
-        traj_divergence()
+        i = sys.argv.index("--traj")
+        name = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                and not sys.argv[i + 1].startswith("-") else "ban")
+        traj_divergence(model_name=name)
     else:
         logit_deltas()
