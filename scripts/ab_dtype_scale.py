@@ -47,6 +47,8 @@ CONFIGS = {
     # on-chip win of scripts/ab_wire_device.py) with and without bf16
     "int8": dict(wire="int8"),
     "bf16c_int8": dict(compute_dtype="bfloat16", wire="int8"),
+    "bf16co_int8": dict(compute_dtype="bfloat16",
+                        optim_state_dtype="bfloat16", wire="int8"),
 }
 
 
